@@ -1,0 +1,106 @@
+"""Benchmark: stage-1 train-step throughput (rays/s/chip, fwd+bwd+update).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Reference point (BASELINE.md): the CUDA reference runs the compressor_occ
+config at 2048 rays/step; its published repo carries no timing numbers, so
+``vs_baseline`` reports against the driver's 3x-CUDA-reference target using
+a measured-on-author-hardware estimate of the torch pipeline's ~25k rays/s
+(2048 rays in ~80ms/step on the reference's target GPU class); update this
+anchor when a direct measurement of the reference is available.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 25000.0  # CUDA reference anchor (see module docstring)
+
+
+def main():
+    import jax
+    from tensoflow_tpu import config as config_mod
+    from tensoflow_tpu.fields import light as light_mod
+    from tensoflow_tpu.models import shape_renderer as sr
+    from tensoflow_tpu.ops import grid as grid_mod
+    from tensoflow_tpu.train import losses
+    from tensoflow_tpu.train.trainer import build_shape_config, make_optimizer
+    import optax
+
+    # reference-scale stage-1 settings (compressor_occ: 2048 rays/step,
+    # 128^3 initial grid, occupancy-grid sampling)
+    rays = 2048
+    cfg = config_mod.load_config(extra={
+        'train_ray_num': rays,
+        'sdf_n_comp': 36, 'sdf_dim': 256, 'app_dim': 128,
+        'use_occ_grid': True, 'occ_grid_reso': 128,
+        'occ_max_samples': 192,
+        'apply_occ_loss': True, 'occ_loss_step': -1,
+        'occ_loss_max_pn': 2048,
+        'has_radiance_field': False,
+        'apply_mask_loss': True,
+    })
+    rcfg = build_shape_config(cfg, (128, 128, 128), 1)
+    params = sr.init_shape_renderer(jax.random.PRNGKey(0), rcfg)
+    occ_state = grid_mod.init_occ_grid(
+        grid_mod.OccGridConfig(resolution=128))
+    tx, opt_state = make_optimizer(cfg, params, 0)
+    weights = losses.schedule_weights(cfg, 2000)
+
+    rng = np.random.RandomState(0)
+    o = rng.uniform(-1, 1, (rays, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d += 0.1 * rng.randn(rays, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        'rays_o': o, 'rays_d': d, 'dirs': d,
+        'radiis': np.full((rays, 1), 1e-3, np.float32),
+        'rays_cos': np.ones((rays, 1), np.float32),
+        'rgbs': rng.rand(rays, 3).astype(np.float32),
+        'masks': (rng.rand(rays, 1) > 0.5).astype(np.float32),
+    }
+
+    def step_fn(params, opt_state, occ_state, ray_batch, step, weights, rng):
+        def loss_fn(p):
+            mips = light_mod.build_mips(p['shading']['envlight'],
+                                        rcfg.shading.env)
+            outputs = sr.train_step_outputs(p, rcfg, mips, occ_state,
+                                            ray_batch, step, rng, False,
+                                            True)
+            total, _ = losses.total_loss_shape(outputs, weights)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(0)
+
+    # warmup + compile
+    params, opt_state, total = jitted(params, opt_state, occ_state, batch,
+                                      2000, weights, key)
+    jax.block_until_ready(total)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, total = jitted(params, opt_state, occ_state,
+                                          batch, 2000 + i, weights, key)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+
+    rays_per_s = rays * n_iters / dt
+    print(json.dumps({
+        'metric': 'stage1_train_rays_per_s_per_chip',
+        'value': round(rays_per_s, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,87 @@
+"""End-to-end stage-1 training smoke tests on the procedural toy scene."""
+import jax
+import numpy as np
+import pytest
+
+from tensoflow_tpu import config as config_mod
+from tensoflow_tpu.train.trainer import ShapeTrainer
+
+
+def tiny_cfg(**over):
+    cfg = config_mod.load_config(extra={
+        'name': 'test_toy',
+        'database_name': 'toy/sphere_48_8',
+        'dataset_dir': 'unused',
+        'nerfDataType': True,
+        'train_ray_num': 256,
+        'n_samples': 24,
+        'n_importance': 24,
+        'up_sample_steps': 4,
+        'sdf_n_comp': 8,
+        'sdf_dim': 64,
+        'app_dim': 32,
+        'N_voxel_init': 32 ** 3,
+        'N_voxel_final': 32 ** 3,
+        'apply_occ_loss': False,
+        'apply_mask_loss': True,
+        'occ_loss_max_pn': 128,
+        'anneal_end': 200,
+        'total_step': 100000,
+        'split_manul': False,
+        **over,
+    })
+    return cfg
+
+
+@pytest.mark.slow
+def test_shape_training_loss_decreases():
+    cfg = tiny_cfg()
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    logs = trainer.train(n_steps=60, log_every=10)
+    assert len(logs) >= 3
+    first, last = logs[0], logs[-1]
+    assert np.isfinite(last['loss'])
+    assert last['loss_rgb'] < first['loss_rgb'], (first, last)
+    assert last['psnr'] > first['psnr']
+
+
+@pytest.mark.slow
+def test_shape_training_occ_grid_path():
+    cfg = tiny_cfg(use_occ_grid=True, occ_grid_reso=32, occ_max_samples=48)
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    logs = trainer.train(n_steps=30, log_every=10)
+    assert np.isfinite(logs[-1]['loss'])
+    assert logs[-1]['sample_num'] > 0
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    trainer.train(n_steps=5, log_every=5)
+    path = str(tmp_path / 'model.pkl')
+    trainer.save(path)
+
+    t2 = ShapeTrainer(cfg)
+    t2.load(path)
+    assert t2.start_step == trainer.start_step
+    a = jax.tree.leaves(trainer.params)[0]
+    b = jax.tree.leaves(t2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_render_image_shapes():
+    cfg = tiny_cfg()
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    trainer.train(n_steps=3, log_every=3)
+    db = trainer.database
+    out = trainer.render_image(db.get_pose(0), db.get_K(0), 24, 24,
+                               chunk=288)
+    assert out['ray_rgb'].shape == (24, 24, 3)
+    assert np.isfinite(out['ray_rgb']).all()
+    assert out['normal_vis'].shape == (24, 24, 3)
