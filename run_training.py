@@ -1,0 +1,71 @@
+"""Training CLI (ref: run_training.py).
+
+Usage:
+  python run_training.py --cfg configs/shape/syn/compressor_occ.yaml \
+      [key=value ...]
+
+Stage is selected by the config's ``network`` field ('shape'|'material'),
+like the reference's renderer registry (ref: network/invRenderer.py:4-7).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--cfg', type=str, required=True)
+    parser.add_argument('--steps', type=int, default=None,
+                        help='limit number of steps (default: cfg total)')
+    parser.add_argument('overrides', nargs='*',
+                        help='dotlist overrides key=value')
+    args = parser.parse_args()
+
+    from tensoflow_tpu.config import load_config
+    cfg = load_config(args.cfg, overrides=args.overrides)
+    model_dir = os.path.join('data/model', cfg['name'])
+    os.makedirs(model_dir, exist_ok=True)
+    ckpt_path = os.path.join(model_dir, 'model.pkl')
+
+    def log(info):
+        print(' '.join(f'{k}={v:.5g}' if isinstance(v, float) else
+                       f'{k}={v}' for k, v in info.items()), flush=True)
+
+    if cfg.get('network', 'shape') == 'material' or cfg.get('isMaterial'):
+        from tensoflow_tpu.train.trainer_mat import MaterialTrainer
+        trainer = MaterialTrainer(cfg, cfg['geo_model_path'])
+        if os.path.exists(ckpt_path) and not cfg['scratch']:
+            trainer.load(ckpt_path)
+        trainer.init_dataset()
+    else:
+        from tensoflow_tpu.train.trainer import ShapeTrainer
+        trainer = ShapeTrainer(cfg)
+        if os.path.exists(ckpt_path) and not cfg['scratch']:
+            trainer.load(ckpt_path)
+        trainer.init_dataset()
+
+    total = args.steps if args.steps is not None else cfg['total_step']
+    save_every = cfg['save_interval']
+    val_every = cfg['val_interval']
+    done = trainer.start_step
+    while done < min(total, cfg['total_step']):
+        n = min(save_every, total - done)
+        trainer.train(n_steps=n, log_every=cfg['train_log_step'],
+                      callback=log)
+        done = trainer.start_step
+        trainer.save(ckpt_path)
+        if done % val_every < save_every:
+            try:
+                psnr = trainer.validate(max_views=1)
+                print(f'[val] step={done} psnr={psnr:.3f}', flush=True)
+                if psnr > trainer.best_para:
+                    trainer.best_para = psnr
+                    trainer.save(os.path.join(model_dir, 'model_best.pkl'))
+            except Exception as e:  # pragma: no cover
+                print(f'[val] failed: {e}', flush=True)
+    print(f'training done at step {trainer.start_step}')
+
+
+if __name__ == '__main__':
+    main()

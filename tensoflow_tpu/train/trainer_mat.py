@@ -1,0 +1,374 @@
+"""Stage-2 (material) trainer.
+
+Drives models/material_renderer over precomputed surface hits
+(ref: train/trainer_inv.py with isMaterial=True + materialRenderer.py).
+
+Host/device split:
+  * stage-1 checkpoint loaded, SDF baked to a dense grid once
+  * all training rays traced against the baked SDF in jitted chunks; misses
+    are dropped on the host (one-time preprocessing,
+    ref: materialRenderer.py:383-417)
+  * per step: slice 2048 hits -> one jitted shade+loss+update step
+  * frozen flow copies refreshed on the reference schedule
+    (ref: fields.py:1050-1065) by swapping param pytrees — phase changes
+    recompile once (nis off -> on)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import database as db_mod
+from ..data import rays as rays_mod
+from ..fields import mc_shading, tenso_sdf
+from ..models import material_renderer as mr
+from ..parallel import sharding
+from . import checkpoints, losses
+from .trainer import lr_factor_fn
+
+
+def mat_param_group_label(path_str: str) -> str:
+    """xyz = all VM grids (material + flow fields); env = envlight cubemap;
+    net = MLPs (ref: fields.py:1580-1595 get_optparam_groups)."""
+    if "'planes'" in path_str or "'lines'" in path_str:
+        return 'xyz'
+    if 'outer_light' in path_str and "'base'" in path_str:
+        return 'env'
+    return 'net'
+
+
+def make_mat_optimizer(cfg, params, reset_step: int):
+    factor = lr_factor_fn(cfg)
+    base = {'xyz': cfg['lr_xyz_init'], 'net': cfg['lr_net_init'],
+            'env': cfg['lr_env_init']}
+    f0 = factor(reset_step)
+
+    def sched_for(b):
+        def sched(count):
+            return b * factor(reset_step + count) / f0
+        return sched
+
+    def label_tree(p):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: mat_param_group_label(
+                jax.tree_util.keystr(path)), p)
+
+    tx = optax.multi_transform(
+        {g: optax.adam(sched_for(b), b1=0.9, b2=0.99)
+         for g, b in base.items()},
+        label_tree)
+    return tx, tx.init(params)
+
+
+def build_material_config(cfg: Dict[str, Any],
+                          geo_kwargs: Dict[str, Any]
+                          ) -> mr.MaterialRendererConfig:
+    shader_over = dict(cfg.get('shader_cfg') or {})
+    base = mc_shading.MCShadingConfig()
+    valid = {k: v for k, v in shader_over.items() if k in base._fields}
+    shader = base._replace(**valid)
+    sdf_cfg = tenso_sdf.SDFConfig(
+        grid_size=tuple(geo_kwargs['grid_size']),
+        n_comp=geo_kwargs['sdf_n_comp'], sdf_dim=geo_kwargs['sdf_dim'],
+        app_dim=geo_kwargs['app_dim'], n_levels=geo_kwargs['n_levels'],
+        sdf_multires=geo_kwargs.get('sdf_multires', 3))
+    return mr.MaterialRendererConfig(
+        shader=shader, sdf=sdf_cfg,
+        aabb=tuple(tuple(x) for x in geo_kwargs['aabb']),
+        train_ray_num=cfg['train_ray_num'],
+        test_ray_num=cfg['test_ray_num'],
+        rgb_loss=cfg['rgb_loss'], reg_mat=cfg['reg_mat'],
+        reg_diffuse_light=cfg['reg_diffuse_light'],
+        reg_diffuse_light_lambda=cfg['reg_diffuse_light_lambda'],
+        std_act=cfg['std_act'], inv_s_init=cfg['inv_s_init'],
+        bake_resolution=cfg.get('bake_resolution', 256),
+        refine_with_neural_sdf=cfg.get('refine_with_neural_sdf', True))
+
+
+class MaterialTrainer:
+    def __init__(self, cfg: Dict[str, Any], geo_ckpt_path: str, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.rng = jax.random.PRNGKey(cfg['random_seed'])
+
+        geo_ckpt = checkpoints.load_checkpoint(geo_ckpt_path)
+        self.rcfg = build_material_config(cfg, geo_ckpt['kwargs'])
+        self.geo_params = jax.tree.map(
+            jnp.asarray, {'sdf': geo_ckpt['params']['sdf'],
+                          'deviation': geo_ckpt['params']['deviation']})
+        self.grid = mr.bake_geometry(self.geo_params, self.rcfg)
+
+        self.rng, k = jax.random.split(self.rng)
+        self.params = mc_shading.init_mc_shading(k, self.rcfg.shader)
+        self.tx, self.opt_state = make_mat_optimizer(cfg, self.params, 0)
+        self.flow_copies: Dict[str, Any] = {}
+        self.start_step = 0
+        self.best_para = 0.0
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    def init_dataset(self, max_train_rays: Optional[int] = None):
+        cfg = self.cfg
+        self.database = db_mod.parse_database_name(
+            cfg['database_name'], cfg['dataset_dir'],
+            isWhiteBG=cfg['isBGWhite'])
+        train_ids, test_ids = db_mod.get_database_split(
+            self.database, split_manul=cfg['split_manul'])
+        self.train_ids, self.test_ids = list(train_ids), list(test_ids)
+        info = rays_mod.build_imgs_info(self.database, self.train_ids)
+        if cfg['nerfDataType']:
+            batch, rn, h, w = rays_mod.construct_ray_batch_nerf(info)
+        else:
+            batch, rn, h, w = rays_mod.construct_ray_batch_w2c(info)
+        batch = {'rays_o': batch['rays_o'], 'rays_d': batch['dirs'],
+                 'rgb': batch['rgbs'], 'human_poses': batch['human_poses']}
+        if max_train_rays is not None and rn > max_train_rays:
+            idx = np.random.RandomState(0).choice(rn, max_train_rays, False)
+            batch = {k: v[idx] for k, v in batch.items()}
+        batch = self._trace_filter(batch)
+        self.batcher = rays_mod.RayBatcher(batch, cfg['train_ray_num'],
+                                           cfg['random_seed'])
+        self.tbn = len(batch['rays_o'])
+
+    def _trace_fn(self, chunk_n: int):
+        key = ('trace', self.rcfg, chunk_n)
+        if key not in self._compiled:
+            rcfg, geo, grid = self.rcfg, self.geo_params, self.grid
+
+            @jax.jit
+            def trace(o, d):
+                return mr.trace_surface(geo, rcfg, grid, o, d)
+            self._compiled[key] = trace
+        return self._compiled[key]
+
+    def _trace_filter(self, batch, chunk: int = 65536):
+        """One-time surface-hit preprocessing (ref: 383-417): trace all
+        train rays, keep hits with their intersections/normals/depths."""
+        n = len(batch['rays_o'])
+        keep = {k: [] for k in
+                list(batch.keys()) + ['inters', 'normals', 'depth']}
+        trace = self._trace_fn(chunk)
+        for i in range(0, n, chunk):
+            o = batch['rays_o'][i:i + chunk]
+            d = batch['rays_d'][i:i + chunk]
+            n_real = len(o)
+            if n_real < chunk:
+                pad = chunk - n_real
+                o = np.concatenate([o, o[-1:].repeat(pad, 0)], 0)
+                d = np.concatenate([d, d[-1:].repeat(pad, 0)], 0)
+            inters, normals, depth, hit = trace(jnp.asarray(o),
+                                                jnp.asarray(d))
+            hit = np.asarray(hit)[:n_real]
+            for k in batch:
+                keep[k].append(batch[k][i:i + chunk][hit])
+            keep['inters'].append(np.asarray(inters)[:n_real][hit])
+            keep['normals'].append(np.asarray(normals)[:n_real][hit])
+            keep['depth'].append(np.asarray(depth)[:n_real][hit])
+        out = {k: np.concatenate(v, 0) for k, v in keep.items()}
+        frac = len(out['rays_o']) / max(n, 1)
+        print(f'surface-hit filtering: kept {len(out["rays_o"])}/{n} '
+              f'({frac:.1%})')
+        return out
+
+    # ------------------------------------------------------------------
+    def update_flow_copies(self, step: int):
+        """(ref: fields.py:1050-1065)"""
+        scfg = self.rcfg.shader
+        s1 = step + 1
+        if (scfg.use_nis_diffuse and s1 >= scfg.nis_start_iter
+                and (s1 - scfg.nis_start_iter) % scfg.nis_update_interval
+                == 0):
+            # deep copy: params buffers get donated in the step fn, so the
+            # frozen copy must own its memory
+            self.flow_copies['diffuse'] = jax.tree.map(
+                jnp.copy, self.params['flow_diffuse'])
+        if (scfg.use_nis_specular and s1 >= scfg.nis_start_iter
+                and (s1 - scfg.nis_start_iter) % scfg.nis_update_interval
+                == 0):
+            self.flow_copies['specular'] = jax.tree.map(
+                jnp.copy, self.params['flow_specular'])
+
+    def phase(self, step: int) -> mc_shading.ShadePhase:
+        scfg = self.rcfg.shader
+        return mc_shading.ShadePhase(
+            nis_sample_diffuse=('diffuse' in self.flow_copies),
+            nis_sample_specular=('specular' in self.flow_copies),
+            nis_loss_diffuse=(scfg.use_nis_diffuse
+                              and step >= scfg.nis_loss_iter),
+            nis_loss_specular=(scfg.use_nis_specular
+                               and step >= scfg.nis_loss_iter))
+
+    def _get_step_fn(self, phase):
+        key = ('step', self.rcfg, phase)
+        if key in self._compiled:
+            return self._compiled[key]
+        rcfg, grid, tx = self.rcfg, self.grid, self.tx
+
+        def step_fn(params, opt_state, batch, step, weights, rng, fc_d,
+                    fc_s):
+            def loss_fn(p):
+                outputs = mr.train_step_outputs(
+                    p, rcfg, grid, batch, phase, rng, step, fc_d, fc_s)
+                total, terms = losses.total_loss_material(outputs, weights)
+                aux = {'psnr': outputs['psnr'],
+                       'variance': outputs['variance'], **terms}
+                return total, aux
+
+            (total, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux['loss'] = total
+            return params, opt_state, aux
+
+        jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+        self._compiled[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------
+    def train(self, n_steps: Optional[int] = None, log_every: int = 100,
+              callback=None):
+        if not hasattr(self, 'batcher'):
+            self.init_dataset()
+        total = n_steps if n_steps is not None else self.cfg['total_step']
+        end_step = min(self.start_step + total, self.cfg['total_step'])
+        logs = []
+        scfg = self.rcfg.shader
+        for step in range(self.start_step, end_step):
+            self.update_flow_copies(step)
+            phase = self.phase(step)
+            batch = self.batcher.next_batch()
+            weights = losses.schedule_weights(self.cfg, step)
+            fn = self._get_step_fn(phase)
+            self.rng, k = jax.random.split(self.rng)
+            # pass copies only once they exist — passing params['flow_*']
+            # here would alias donated buffers (donate(params) + params arg)
+            fc_d = self.flow_copies.get('diffuse')
+            fc_s = self.flow_copies.get('specular')
+            self.params, self.opt_state, aux = fn(
+                self.params, self.opt_state, batch, step, weights, k,
+                fc_d, fc_s)
+            if (step + 1) % log_every == 0 or step == self.start_step:
+                host = {k_: float(v) for k_, v in aux.items()
+                        if np.ndim(v) == 0}
+                host['step'] = step + 1
+                logs.append(host)
+                if callback:
+                    callback(host)
+        self.start_step = end_step
+        return logs
+
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        checkpoints.save_checkpoint(path, {
+            'step': self.start_step,
+            'best_para': self.best_para,
+            'params': self.params,
+            'opt_state': self.opt_state,
+            'flow_copies': self.flow_copies,
+            'kwargs': {
+                'aabb': [list(a) for a in self.rcfg.aabb],
+                'grid_size': list(self.rcfg.sdf.grid_size),
+            },
+        })
+
+    def load(self, path: str):
+        ckpt = checkpoints.load_checkpoint(path)
+        self.params = jax.tree.map(jnp.asarray, ckpt['params'])
+        self.flow_copies = jax.tree.map(jnp.asarray,
+                                        ckpt.get('flow_copies', {}))
+        self.start_step = ckpt['step']
+        self.best_para = ckpt.get('best_para', 0.0)
+        self.tx, self.opt_state = make_mat_optimizer(
+            self.cfg, self.params, self.start_step)
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    def render_image(self, pose, K, h, w, chunk: int = 512):
+        """NVS render (ref: materialRenderer.py:641-752)."""
+        info = {'imgs': np.zeros((1, h, w, 3), np.float32),
+                'Ks': K[None].astype(np.float32),
+                'poses': pose[None].astype(np.float32)}
+        if self.cfg['nerfDataType']:
+            batch, rn, _, _ = rays_mod.construct_ray_batch_nerf(info)
+        else:
+            batch, rn, _, _ = rays_mod.construct_ray_batch_w2c(info)
+        rays_o, rays_d = batch['rays_o'], batch['dirs']
+
+        rcfg, grid = self.rcfg, self.grid
+        fc_d = self.flow_copies.get('diffuse')
+        fc_s = self.flow_copies.get('specular')
+        with_nis = fc_d is not None
+
+        key = ('nvs', rcfg, chunk, with_nis)
+        if key not in self._compiled:
+            geo = self.geo_params
+
+            @jax.jit
+            def nvs_fn(params, o, d, rng, fc_d, fc_s):
+                inters, normals, depth, hit = mr.trace_surface(
+                    geo, rcfg, grid, o, d)
+                b = {'inters': inters, 'normals': normals, 'rays_d': d}
+                out = mr.eval_outputs(params, rcfg, grid, b, rng, fc_d,
+                                      fc_s, with_nis)
+                out['hit'] = hit
+                return out
+            self._compiled[key] = nvs_fn
+        nvs_fn = self._compiled[key]
+
+        keys_out = ['rgb_pr', 'normal', 'specular_light', 'specular_color',
+                    'diffuse_light', 'diffuse_color', 'albedo', 'metallic',
+                    'roughness', 'visibility', 'indirect_light', 'hit']
+        if with_nis:
+            keys_out += [k + '_nis' for k in keys_out if k != 'hit']
+        acc = {k: [] for k in keys_out}
+        for ri in range(0, rn, chunk):
+            o = rays_o[ri:ri + chunk]
+            d = rays_d[ri:ri + chunk]
+            n_real = len(o)
+            if n_real < chunk:
+                pad = chunk - n_real
+                o = np.concatenate([o, o[-1:].repeat(pad, 0)], 0)
+                d = np.concatenate([d, d[-1:].repeat(pad, 0)], 0)
+            self.rng, k = jax.random.split(self.rng)
+            res = nvs_fn(self.params, jnp.asarray(o), jnp.asarray(d), k,
+                         fc_d, fc_s)
+            for kk in keys_out:
+                if kk in res:
+                    acc[kk].append(np.asarray(res[kk])[:n_real])
+        out = {k: np.concatenate(v, 0) for k, v in acc.items() if v}
+        hit = out.pop('hit')[:, None]
+        img = {}
+        for k, v in out.items():
+            v = v * hit  # background zeroed
+            img[k] = v.reshape(h, w, -1)
+        if 'rgb_pr' in img:
+            img['rgb_pr'] = img['rgb_pr'] + (1.0 - hit.reshape(h, w, 1))
+        img['hit_mask'] = hit.reshape(h, w, 1)
+        return img
+
+    def validate(self, max_views: int = 1, downsample: float = 0.25):
+        import cv2
+        psnrs = []
+        for vid in self.test_ids[:max_views]:
+            gt = self.database.get_image(vid).astype(np.float32) / 255.0
+            K = self.database.get_K(vid).copy()
+            pose = self.database.get_pose(vid)
+            h, w = gt.shape[:2]
+            if downsample != 1.0:
+                h, w = int(h * downsample), int(w * downsample)
+                gt = cv2.resize(gt, (w, h), interpolation=cv2.INTER_LINEAR)
+                K = np.diag([downsample, downsample, 1.0]).astype(
+                    np.float32) @ K
+            out = self.render_image(pose, K, h, w)
+            key = 'rgb_pr_nis' if 'rgb_pr_nis' in out else 'rgb_pr'
+            pr = out[key]
+            if key == 'rgb_pr_nis':
+                pr = pr + (1.0 - out['hit_mask'])
+            mse = float(np.mean((pr - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        return float(np.mean(psnrs))
