@@ -21,6 +21,10 @@ BASELINE_RAYS_PER_S = 25000.0  # CUDA reference anchor (see module docstring)
 
 def main():
     import jax
+    # persistent compile cache: axon-tunnel compiles are minutes-long, the
+    # cache makes repeat bench runs start in seconds
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from tensoflow_tpu import config as config_mod
     from tensoflow_tpu.fields import light as light_mod
     from tensoflow_tpu.models import shape_renderer as sr

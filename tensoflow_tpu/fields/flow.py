@@ -161,11 +161,10 @@ def _searchsorted_batch(sorted_vals, queries, max_bin=None):
     m = sorted_vals.shape[-1]
     if max_bin is None:
         max_bin = m - 1
-    flat_s = sorted_vals.reshape(-1, m)
-    flat_q = queries.reshape(-1, 1)
-    idx = jax.vmap(
-        functools.partial(jnp.searchsorted, side='right'))(flat_s, flat_q)
-    return jnp.clip(idx.reshape(queries.shape), 0, max_bin)
+    # branchless count-compare (see ops/math.sample_pdf): one fused
+    # broadcast instead of a vmapped binary search
+    idx = jnp.sum(sorted_vals <= queries[..., None], axis=-1)
+    return jnp.clip(idx, 0, max_bin)
 
 
 def _take_bin(arr, mx):

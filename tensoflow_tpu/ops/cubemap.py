@@ -197,50 +197,36 @@ def cubemap_to_latlong(cubemap, res_hw):
 # pre-integration (dense matmuls over texel lattices)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=8)
-def _diffuse_matrix(res: int) -> np.ndarray:
-    """[T,T] cosine-convolution matrix: out_i = sum_j W_ij * env_j."""
-    dirs = cubemap_dirs(res).reshape(-1, 3)
-    sa = cubemap_solid_angles(res).reshape(-1)
-    cos = np.clip(dirs @ dirs.T, 0.0, None)
-    w = cos * sa[None, :]
-    w = w / np.maximum(w.sum(-1, keepdims=True), 1e-8)
-    return w.astype(np.float32)
-
-
 def diffuse_cubemap(cubemap):
     """Cosine-hemisphere pre-integration (ref: c_src/cubemap.cu diffuse;
-    called at light.py:58). Exact dense convolution; input should be the
-    low-res mip tail (16^2 -> 1536x1536 matmul)."""
+    called at light.py:58). Exact dense convolution; the [T,T] weight
+    matrix is built ON DEVICE from tiny direction/solid-angle tables —
+    embedding it as a host constant bloats the HLO by ~10MB and stalls
+    remote compilation. Input should be the low-res mip tail (16^2)."""
     f, r, _, c = cubemap.shape
-    w = jnp.asarray(_diffuse_matrix(r))
+    dirs = jnp.asarray(cubemap_dirs(r).reshape(-1, 3))
+    sa = jnp.asarray(cubemap_solid_angles(r).reshape(-1))
+    cos = jnp.maximum(dirs @ dirs.T, 0.0)
+    w = cos * sa[None, :]
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
     out = w @ cubemap.reshape(-1, c)
     return out.reshape(f, r, r, c)
 
 
-@functools.lru_cache(maxsize=32)
-def _ggx_matrix(res: int, roughness: float, cutoff: float = 0.99) -> np.ndarray:
-    """[T,T] GGX NDF convolution matrix (normal = view = reflection dir)."""
-    dirs = cubemap_dirs(res).reshape(-1, 3)
-    sa = cubemap_solid_angles(res).reshape(-1)
-    cos = np.clip(dirs @ dirs.T, 0.0, None)
-    a = max(roughness, 1e-3)
-    a2 = a * a
-    # D_GGX over half-angle ~ for prefiltering the standard approx uses
-    # NoH ~ cos(theta/2) ≈ sqrt((1+cos)/2)
-    noh2 = (1.0 + cos) / 2.0
-    d = a2 / np.maximum(np.pi * (noh2 * (a2 - 1.0) + 1.0) ** 2, 1e-9)
-    w = d * cos * sa[None, :]
-    # cutoff cone: zero out beyond the angle containing `cutoff` mass
-    w = np.where(cos >= np.cos(np.arccos(cutoff) * 0 + np.pi), w, w)
-    w = w / np.maximum(w.sum(-1, keepdims=True), 1e-8)
-    return w.astype(np.float32)
-
-
 def specular_cubemap(cubemap, roughness: float, cutoff: float = 0.99):
     """GGX pre-integration via dense convolution (ref: c_src/cubemap.cu
-    specular path, light.py:60-64). Use at res <= 32."""
+    specular path, light.py:60-64). Weight matrix built on device (see
+    diffuse_cubemap). Use at res <= 32."""
     f, r, _, c = cubemap.shape
-    w = jnp.asarray(_ggx_matrix(r, float(roughness), float(cutoff)))
+    dirs = jnp.asarray(cubemap_dirs(r).reshape(-1, 3))
+    sa = jnp.asarray(cubemap_solid_angles(r).reshape(-1))
+    cos = jnp.maximum(dirs @ dirs.T, 0.0)
+    a = max(float(roughness), 1e-3)
+    a2 = a * a
+    # prefilter convention: NoH ~ cos(theta/2) = sqrt((1+cos)/2)
+    noh2 = (1.0 + cos) / 2.0
+    d = a2 / jnp.maximum(np.pi * (noh2 * (a2 - 1.0) + 1.0) ** 2, 1e-9)
+    w = d * cos * sa[None, :]
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
     out = w @ cubemap.reshape(-1, c)
     return out.reshape(f, r, r, c)

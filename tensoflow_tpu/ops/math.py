@@ -321,9 +321,10 @@ def sample_pdf(bins, weights, n_samples: int, u=None):
                          dtype=cdf.dtype)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
 
-    inds = jax.vmap(functools.partial(jnp.searchsorted, side='right'))(
-        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, u.shape[-1])
-    ).reshape(u.shape)
+    # branchless bin search: count of cdf entries <= u. For the small bin
+    # counts used here this compiles to one broadcast-compare-reduce, far
+    # friendlier to the TPU compiler than vmapped searchsorted.
+    inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 

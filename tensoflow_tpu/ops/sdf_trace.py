@@ -97,29 +97,45 @@ def sphere_trace(grid: SDFGrid, rays_o, rays_d, n_steps: int = 48,
     # numpy BEFORE any jnp op so this works under jit tracing
     a_np = np.asarray(grid.aabb)
     cell = float((a_np[1] - a_np[0]).mean() / grid.resolution)
+    diag = float(np.linalg.norm(a_np[1] - a_np[0]))
     if hit_eps is None:
         hit_eps = 0.75 * cell
+    # cap the step so a (possibly non-metric) baked field cannot tunnel
+    # through thin geometry, while n_steps * cap still spans the aabb
+    step_cap = max(2.0 * diag / n_steps, 4.0 * cell)
+
+    # start at the ray/aabb entry (slab method) — outside the grid the
+    # field carries no distance information
+    vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+    ra = (grid.aabb[1] - rays_o) / vec
+    rb = (grid.aabb[0] - rays_o) / vec
+    t_enter = jnp.maximum(jnp.max(jnp.minimum(ra, rb), -1, keepdims=True),
+                          0.0)
 
     def body(_, carry):
-        t, done = carry
+        t, done, prev_step = carry
         pts = rays_o + rays_d * t
         d = sample_sdf_grid(grid, pts)
         hit_now = d < hit_eps
         done_new = done | hit_now | (t[:, 0] > max_dist)
-        step = jnp.maximum(d, hit_eps * 0.5)[:, None] * step_scale
+        step = jnp.minimum(jnp.maximum(d, hit_eps * 0.5)[:, None]
+                           * step_scale, step_cap)
         t_new = jnp.where(done_new[:, None], t, t + step)
-        return t_new, done_new
+        prev_new = jnp.where(done_new[:, None], prev_step, step)
+        return t_new, done_new, prev_new
 
-    t0 = jnp.zeros((n, 1), rays_o.dtype)
+    t0 = t_enter
     done0 = jnp.zeros((n,), bool)
-    t, done = jax.lax.fori_loop(0, n_steps, body, (t0, done0))
+    prev0 = jnp.full((n, 1), 2.0 * cell, rays_o.dtype)
+    t, done, prev_step = jax.lax.fori_loop(0, n_steps, body,
+                                           (t0, done0, prev0))
 
     pts = rays_o + rays_d * t
     d_end = sample_sdf_grid(grid, pts)
     hit = done & (d_end < 2.0 * hit_eps) & (t[:, 0] <= max_dist)
 
-    # bisection refinement between t - cell and t (sign change bracket)
-    lo = jnp.maximum(t - 2.0 * cell, 0.0)
+    # bisection refinement over the last step taken (sign-change bracket)
+    lo = jnp.maximum(t - jnp.maximum(prev_step, 2.0 * cell), 0.0)
     hi = t
 
     def bis(_, carry):

@@ -1,0 +1,122 @@
+"""Unit tests: compositing, occupancy grid, secondary march, sphere trace."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensoflow_tpu.ops import composite, grid as grid_mod, sdf_trace
+from tensoflow_tpu.models import secondary
+
+
+def test_weights_from_alpha_matches_cumprod_oracle():
+    rng = np.random.RandomState(0)
+    alpha = rng.rand(4, 16).astype(np.float32)
+    w, trans = composite.weights_from_alpha(jnp.asarray(alpha))
+    w = np.asarray(w)
+    # oracle
+    om = np.concatenate([np.ones((4, 1)), 1 - alpha[:, :-1] + 1e-7], 1)
+    t = np.cumprod(om, 1)
+    np.testing.assert_allclose(w, alpha * t, rtol=1e-5)
+    # weights sum <= 1
+    assert (w.sum(1) <= 1.0 + 1e-4).all()
+
+
+def test_weights_mask_zeroes_invalid():
+    alpha = jnp.ones((2, 4)) * 0.5
+    mask = jnp.asarray([[True, False, True, True], [False] * 4])
+    w, _ = composite.weights_from_alpha(alpha, mask)
+    w = np.asarray(w)
+    assert w[0, 1] == 0
+    assert (w[1] == 0).all()
+
+
+def test_neus_alpha_opaque_surface():
+    """A sharp SDF crossing should give alpha ~1 at the crossing."""
+    sdf = jnp.asarray([0.5, 0.1, -0.1, -0.5])
+    alpha = composite.neus_alpha(sdf, 500.0, jnp.full((4,), -1.0),
+                                 jnp.full((4,), 0.2))
+    a = np.asarray(alpha)
+    # total accumulated opacity across the crossing ~ 1 (opaque surface)
+    w, _ = composite.weights_from_alpha(alpha[None])
+    assert float(np.asarray(w).sum()) > 0.95
+    assert a[0] < 0.01          # well outside: transparent
+
+
+def test_occ_grid_sampling_skips_empty_space():
+    cfg = grid_mod.OccGridConfig(resolution=32)
+    state = grid_mod.init_occ_grid(cfg)
+    # occupy only a central ball of radius 0.3
+    centers = grid_mod.occ_grid_cell_centers(cfg)
+    occ = (jnp.linalg.norm(centers, axis=-1) < 0.3).astype(jnp.float32)
+    state = grid_mod.update_occ_grid(state, cfg, occ, 0)
+
+    o = jnp.asarray([[0.0, 0.0, -2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    near = jnp.asarray([[0.5]])
+    far = jnp.asarray([[3.5]])
+    ts, te, mask = grid_mod.occ_grid_sampling(
+        state, cfg, o, d, near, far, 0.05, 64, 32)
+    mids = np.asarray(0.5 * (ts + te))[0]
+    m = np.asarray(mask)[0]
+    assert m.sum() > 3
+    # all valid samples inside the ball along z
+    z = -2.0 + mids[m]
+    assert (np.abs(z) < 0.4).all()
+
+
+def test_secondary_march_occlusion_probability():
+    """March from inside toward a wall: occ ~1; away from geometry: ~0."""
+    def sdf_fun(x):
+        # a sphere of radius 0.5
+        return (jnp.linalg.norm(x, axis=-1, keepdims=True) - 0.5)
+
+    # start outside the sphere surface, looking at it vs away from it
+    pts = jnp.asarray([[0.0, 0.0, 0.7], [0.0, 0.0, 0.7]])
+    dirs = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+    _, w, _ = secondary.secondary_intersection(sdf_fun, 200.0, pts, dirs,
+                                               64, 16)
+    occ = np.asarray(jnp.sum(w, -1))
+    assert occ[0] > 0.9, occ
+    assert occ[1] < 0.1, occ
+
+
+def test_sphere_trace_hits_analytic_sphere():
+    xs = np.linspace(-1, 1, 128, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    vals = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) - 0.5
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    rng = np.random.RandomState(0)
+    d = rng.randn(64, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = -d * 2.0  # rays through the origin -> all hit at depth 1.5
+    inters, normals, depth, hit = sdf_trace.sphere_trace(
+        grid, jnp.asarray(o), jnp.asarray(d))
+    assert np.asarray(hit).all()
+    np.testing.assert_allclose(np.asarray(depth)[:, 0], 1.5, atol=0.02)
+    r = np.linalg.norm(np.asarray(inters), axis=-1)
+    np.testing.assert_allclose(r, 0.5, atol=0.02)
+    # normals point outward (flipped against incoming dir)
+    cos = np.sum(np.asarray(normals) * np.asarray(inters), -1) / r
+    assert (cos > 0.95).all()
+
+
+def test_sphere_trace_misses():
+    xs = np.linspace(-1, 1, 64, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    vals = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) - 0.3
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    o = jnp.asarray([[0.0, 0.9, -2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])  # passes 0.9 above center: miss
+    _, _, depth, hit = sdf_trace.sphere_trace(grid, o, d)
+    assert not np.asarray(hit)[0]
+    assert np.asarray(depth)[0, 0] == sdf_trace.MISS_DEPTH
+
+
+def test_trilinear_sample_matches_corners():
+    vol = jnp.asarray(np.arange(8, dtype=np.float32).reshape(2, 2, 2))
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                       [0.5, 0.5, 0.5]])
+    vals = np.asarray(grid_mod.trilinear_sample_3d(vol, pts))
+    assert vals[0] == 0.0 and vals[1] == 7.0
+    np.testing.assert_allclose(vals[2], 3.5, atol=1e-6)
