@@ -48,8 +48,15 @@ def main():
     })
     rcfg = build_shape_config(cfg, (128, 128, 128), 1)
     params = sr.init_shape_renderer(jax.random.PRNGKey(0), rcfg)
-    occ_state = grid_mod.init_occ_grid(
-        grid_mod.OccGridConfig(resolution=128))
+    occ_cfg = grid_mod.OccGridConfig(resolution=128)
+    occ_state = grid_mod.init_occ_grid(occ_cfg)
+    # prime the occupancy grid from the initial SDF so the sampler sees the
+    # steady-state sparsity training operates at (the sampler budget +
+    # compaction otherwise measure the untrained all-occupied worst case)
+    centers = grid_mod.occ_grid_cell_centers(occ_cfg)
+    alphas = jax.jit(lambda p, c: sr.compute_occ_alpha(p, rcfg, c))(
+        params, centers)
+    occ_state = grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, 0)
     tx, opt_state = make_optimizer(cfg, params, 0)
     weights = losses.schedule_weights(cfg, 2000)
 

@@ -86,6 +86,7 @@ TRAINER_DEFAULTS: Dict[str, Any] = {
     'use_occ_grid': False,
     'occ_grid_reso': 128,
     'occ_max_samples': 192,
+    'compact_samples_per_ray': 64,
     'blend_ratio': 0,
 
     # losses (ref: loss.py defaults)

@@ -391,7 +391,7 @@ def flow_log_density(params, cfg: FlowConfig, pts, aabb, refl_angles01,
     x = jnp.clip(x, 1e-6, 1 - 1e-6)
     feature = flow_feature(params, cfg, pts, aabb, refl_angles01, roughness)
     if rays_id is not None:
-        feature = jnp.take(feature, rays_id, axis=0)
+        feature = jnp.take(feature, rays_id, axis=0, mode='clip')
     logj = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
     z, logj = _run_blocks(params, cfg, x, logj, feature, inverse=True)
     logqx = logj + sphere_prior_log_prob(z)

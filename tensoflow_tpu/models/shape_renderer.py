@@ -51,7 +51,13 @@ class ShapeRendererConfig(NamedTuple):
     use_occ_grid: bool = False
     occ_grid_reso: int = 128
     step_ratio: float = 0.5
-    occ_max_samples: int = 192        # per-ray compacted budget
+    occ_max_samples: int = 192        # per-ray sampler budget
+    # global sample compaction: field+shading run only on valid samples,
+    # packed to rn * compact_samples_per_ray slots (0 = dense). The
+    # occupancy sampler emits valid-prefix rows, so this is a pure
+    # reordering; it converts the reference's variable-length sample lists
+    # into a fixed global budget instead of per-ray dense padding.
+    compact_samples_per_ray: int = 64
 
     # losses
     rgb_loss: str = 'charbonier'
@@ -233,7 +239,7 @@ def sample_ray_hierarchical(params, cfg: ShapeRendererConfig, rays_o, dirs,
 def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
                 step, cos_anneal_ratio, rng, is_train: bool,
                 radiance_on: bool = False, occ_loss_on: bool = False,
-                eval_extras: bool = False):
+                eval_extras: bool = False, alpha_mask=None):
     """Render a batch of rays end-to-end; returns the outputs dict.
 
     ray_batch keys: rays_o, rays_d, dirs, radiis, rays_cos, human_poses
@@ -264,6 +270,10 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     dists = t_ends - t_starts
     pts = rays_o[:, None, :] + dirs[:, None, :] * mid[..., None]
     inner = valid & ~jnp.any((aabb[0] > pts) | (pts > aabb[1]), -1)
+    if alpha_mask is not None and not cfg.use_occ_grid:
+        # alpha-mask sample culling (ref: shapeRenderer.py:1119-1128)
+        am = alpha_mask.sample_alpha(pts.reshape(-1, 3)).reshape(rn, sn)
+        inner = inner & (am > 0)
 
     sbr = compute_ball_radii(mid[..., None], radii[:, None, :],
                              rays_cos[:, None, :])
@@ -272,9 +282,36 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     flat_pts = pts.reshape(-1, 3)
     flat_lv = levels.reshape(-1, 1)
     flat_dirs = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    if human_poses is not None:
+        hp_full = jnp.broadcast_to(human_poses[:, None],
+                                   (rn, sn) + human_poses.shape[1:])
+        hp_full = hp_full.reshape(-1, *human_poses.shape[1:])
+    else:
+        hp_full = None
+
+    # ---- global sample compaction -------------------------------------
+    compact = (cfg.compact_samples_per_ray
+               if (cfg.use_occ_grid and cfg.compact_samples_per_ray > 0)
+               else 0)
+    if compact:
+        m = rn * compact
+        src, slot_mask, dest = grid_mod.compact_indices(
+            inner.reshape(-1), m)
+        s_pts = jnp.take(flat_pts, src, axis=0, mode='clip')
+        s_lv = jnp.take(flat_lv, src, axis=0, mode='clip')
+        s_dirs = jnp.take(flat_dirs, src, axis=0, mode='clip')
+        s_dists = jnp.take(dists.reshape(-1), src, axis=0, mode='clip')
+        s_hp = (jnp.take(hp_full, src, axis=0, mode='clip')
+                if hp_full is not None else None)
+    else:
+        s_pts, s_lv, s_dirs = flat_pts, flat_lv, flat_dirs
+        s_dists = dists.reshape(-1)
+        s_hp = hp_full
+        slot_mask = inner.reshape(-1)
+        dest = None
 
     sdf, app_feat, grads, hessian = tenso_sdf.sdf_with_grad_hessian(
-        params['sdf'], cfg.sdf, flat_pts, aabb, flat_lv,
+        params['sdf'], cfg.sdf, s_pts, aabb, s_lv,
         with_hessian=is_train)
     inv_s = mlp.apply_variance(params['deviation'], cfg.std_act)
     inv_s = jnp.clip(inv_s, 1e-6, 1e6)
@@ -282,27 +319,30 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         inv_s = jnp.where(step < cfg.freeze_inv_s_step,
                           jax.lax.stop_gradient(inv_s), inv_s)
 
-    true_cos = jnp.sum(flat_dirs * grads, -1)
+    true_cos = jnp.sum(s_dirs * grads, -1)
     iter_cos = composite.anneal_cos(true_cos, cos_anneal_ratio)
-    alpha = composite.neus_alpha(sdf, inv_s, iter_cos,
-                                 dists.reshape(-1)).reshape(rn, sn)
+    alpha_s = composite.neus_alpha(sdf, inv_s, iter_cos, s_dists)
 
     normals = safe_normalize(grads)
-    if human_poses is not None:
-        hp = jnp.broadcast_to(human_poses[:, None],
-                              (rn, sn) + human_poses.shape[1:])
-        hp = hp.reshape(-1, *human_poses.shape[1:])
-    else:
-        hp = None
     color_out = shading_mod.apply_shading(
-        params['shading'], cfg.shading, mips, flat_pts, normals, -flat_dirs,
-        app_feat, hp, step=(step if radiance_on else None))
+        params['shading'], cfg.shading, mips, s_pts, normals, -s_dirs,
+        app_feat, s_hp, step=(step if radiance_on else None))
     sampled_color, sampled_radiance, occ_info = color_out[:3]
 
+    if compact:
+        alpha = grid_mod.scatter_back(alpha_s, dest).reshape(rn, sn)
+        color_full = grid_mod.scatter_back(sampled_color, dest)
+        grads_full = grid_mod.scatter_back(grads, dest)
+    else:
+        alpha = alpha_s.reshape(rn, sn)
+        color_full = sampled_color
+        grads_full = grads
+
     mask_f = inner.astype(alpha.dtype)
+    slot_f = slot_mask.astype(alpha.dtype)
     weights, trans = composite.weights_from_alpha(alpha, inner)
     acc = composite.accumulate(weights)
-    color = composite.accumulate(weights, sampled_color.reshape(rn, sn, 3))
+    color = composite.accumulate(weights, color_full.reshape(rn, sn, 3))
     if cfg.isBGWhite:
         color = color + (1.0 - acc)
 
@@ -312,22 +352,23 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         'sample_num': jnp.sum(mask_f) / rn,
     }
 
-    acc_normal = composite.accumulate(weights, grads.reshape(rn, sn, 3))
+    acc_normal = composite.accumulate(weights, grads_full.reshape(rn, sn, 3))
     outputs['normal'] = safe_normalize(
         acc_normal * acc + (1.0 - acc)
         * jnp.asarray([0.0, 0.0, 1.0], acc.dtype))
 
-    nvalid = jnp.maximum(jnp.sum(mask_f), 1.0)
+    # masked means over the (compacted or dense) evaluated sample set —
+    # identical math either way: both sum over exactly the valid samples
+    nvalid = jnp.maximum(jnp.sum(slot_f), 1.0)
     grad_err = (jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2
-    outputs['gradient_error'] = jnp.sum(
-        grad_err.reshape(rn, sn) * mask_f) / nvalid
+    outputs['gradient_error'] = jnp.sum(grad_err * slot_f) / nvalid
 
     if cfg.apply_sparse_loss:
         reg = jnp.exp(-20.0 * jnp.abs(sdf))
-        outputs['loss_sparse'] = jnp.sum(reg.reshape(rn, sn) * mask_f) / nvalid
+        outputs['loss_sparse'] = jnp.sum(reg * slot_f) / nvalid
     if cfg.apply_hessian_loss and hessian is not None:
         outputs['loss_hessian'] = jnp.sum(
-            jnp.abs(hessian).reshape(rn, sn) * mask_f) / nvalid
+            jnp.abs(hessian) * slot_f) / nvalid
     if cfg.apply_tv_loss:
         from ..ops.tensor_field import tv_loss_vm
         outputs['loss_tv_sdf'] = tv_loss_vm(params['sdf']['field'])
@@ -340,25 +381,30 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     outputs['std'] = jnp.mean(1.0 / inv_s)
 
     if radiance_on and sampled_radiance is not None:
+        if compact:
+            rad_full = grid_mod.scatter_back(sampled_radiance, dest)
+            rough_full = grid_mod.scatter_back(occ_info['roughness'], dest)
+        else:
+            rad_full = sampled_radiance
+            rough_full = occ_info['roughness']
         radiance = composite.accumulate(weights,
-                                        sampled_radiance.reshape(rn, sn, 3))
+                                        rad_full.reshape(rn, sn, 3))
         if cfg.isBGWhite:
             radiance = radiance + (1.0 - acc)
-        rw = composite.accumulate(weights,
-                                  occ_info['roughness'].reshape(rn, sn, 1))
+        rw = composite.accumulate(weights, rough_full.reshape(rn, sn, 1))
         outputs['radiance'] = radiance
         outputs['roughness_weights'] = jax.lax.stop_gradient(rw[:, 0])
 
     # init-sdf regularization inputs (ref: loss.py:170-202, gated step<1000)
-    outputs['sdf_vals'] = sdf.reshape(rn, sn)
-    outputs['sdf_pts_norm'] = jnp.linalg.norm(pts, axis=-1)
-    outputs['sdf_mask'] = mask_f
+    outputs['sdf_vals'] = sdf
+    outputs['sdf_pts_norm'] = jnp.linalg.norm(s_pts, axis=-1)
+    outputs['sdf_mask'] = slot_f
 
     if cfg.apply_occ_loss and is_train:
         if occ_loss_on:
             outputs['loss_occ'] = _occ_loss(
-                params, cfg, aabb, flat_pts, sdf, normals, flat_dirs,
-                occ_info, inner.reshape(-1), k_occ, inv_s)
+                params, cfg, aabb, s_pts, sdf, normals, s_dirs,
+                occ_info, slot_mask, k_occ, inv_s)
         else:
             outputs['loss_occ'] = jnp.zeros(())
 
@@ -409,10 +455,10 @@ def _occ_loss(params, cfg: ShapeRendererConfig, aabb, flat_pts, sdf, normals,
     score = jnp.where(mask, jax.random.uniform(rng, (n,)), -1.0)
     kk = min(k, n)
     _, idx = jax.lax.top_k(score, kk)
-    sel_mask = jnp.take(mask, idx)
-    sel_pts = jnp.take(flat_pts, idx, axis=0)
-    sel_ref = jnp.take(occ_info['reflective'], idx, axis=0)
-    sel_occ = jnp.take(occ_info['occ_prob'], idx, axis=0)
+    sel_mask = jnp.take(mask, idx, mode='clip')
+    sel_pts = jnp.take(flat_pts, idx, axis=0, mode='clip')
+    sel_ref = jnp.take(occ_info['reflective'], idx, axis=0, mode='clip')
+    sel_occ = jnp.take(occ_info['occ_prob'], idx, axis=0, mode='clip')
 
     def sdf_fun(x):
         return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb)
@@ -444,15 +490,55 @@ def compute_occ_alpha(params, cfg: ShapeRendererConfig, pts):
     return composite.neus_alpha_isotropic(sdf, inv_s, step_size(cfg))
 
 
+def compute_grid_alpha(params, cfg: ShapeRendererConfig, pts,
+                       step_length: float, mul_length: float = 10.0):
+    """Alpha for the alpha-mask update (ref: shapeRenderer.py:299-325):
+    isotropic NeuS alpha with near-surface cells forced opaque."""
+    aabb = aabb_array(cfg)
+    sdf = tenso_sdf.sdf_only(params['sdf'], cfg.sdf, pts, aabb)[:, 0]
+    inv_s = jnp.clip(mlp.apply_variance(params['deviation'], cfg.std_act),
+                     1e-6, 1e6)
+    alpha = composite.neus_alpha_isotropic(sdf, inv_s, step_length)
+    near_surf = jnp.abs(sdf) < mul_length * step_length
+    return jnp.where(near_surf, 1.0, alpha)
+
+
+def build_alpha_mask(params, cfg: ShapeRendererConfig,
+                     grid_size: int = 128, mul_length: float = 10.0,
+                     alpha_thresh: float = 1e-4,
+                     chunk: int = 262144) -> grid_mod.AlphaGridMask:
+    """updateAlphaMask equivalent (ref: shapeRenderer.py:256-282):
+    dense alpha eval -> 3^3 max pool -> binarize. Host-chunked."""
+    aabb_np = np.asarray(cfg.aabb, np.float32)
+    xs = [np.linspace(aabb_np[0][d], aabb_np[1][d], grid_size,
+                      dtype=np.float32) for d in range(3)]
+    pts = np.stack(np.meshgrid(*xs, indexing='ij'), -1).reshape(-1, 3)
+    step_length = float(((aabb_np[1] - aabb_np[0])
+                         / (grid_size - 1)).mean())
+
+    fn = jax.jit(lambda p: compute_grid_alpha(
+        params, cfg, p, step_length, mul_length))
+    alphas = []
+    for i in range(0, len(pts), chunk):
+        alphas.append(np.asarray(fn(jnp.asarray(pts[i:i + chunk]))))
+    vol = jnp.asarray(np.concatenate(alphas, 0)
+                      .reshape(grid_size, grid_size, grid_size))
+    vol = jnp.clip(vol, 0.0, 1.0)
+    vol = grid_mod.max_pool_3d_3x3(vol)
+    vol = (vol >= alpha_thresh).astype(jnp.float32)
+    return grid_mod.AlphaGridMask(aabb=aabb_array(cfg), volume=vol)
+
+
 def train_step_outputs(params, cfg: ShapeRendererConfig, mips, occ_state,
                        ray_batch, step, rng, radiance_on: bool,
-                       occ_loss_on: bool):
+                       occ_loss_on: bool, alpha_mask=None):
     """Training forward: render + rgb/psnr/mask losses
     (ref: shapeRenderer.py:777-794)."""
     anneal = jnp.minimum(1.0, step / cfg.anneal_end) if cfg.anneal_end >= 0 \
         else jnp.asarray(1.0)
     outputs = render_rays(params, cfg, mips, occ_state, ray_batch, step,
-                          anneal, rng, True, radiance_on, occ_loss_on)
+                          anneal, rng, True, radiance_on, occ_loss_on,
+                          alpha_mask=alpha_mask)
     rgb_gt = ray_batch['rgbs']
     outputs['loss_rgb'] = compute_rgb_loss(cfg, outputs['ray_rgb'], rgb_gt)
     mse = jnp.mean((outputs['ray_rgb'] - rgb_gt) ** 2)

@@ -131,7 +131,7 @@ def sample_cubemap(cubemap, dirs):
     base = face * r * r
 
     def g(vi, ui):
-        return jnp.take(flat, base + vi * r + ui, axis=0)
+        return jnp.take(flat, base + vi * r + ui, axis=0, mode='clip')
 
     return ((1 - fv) * ((1 - fu) * g(v0i, u0i) + fu * g(v0i, u1i))
             + fv * ((1 - fu) * g(v1i, u0i) + fu * g(v1i, u1i)))

@@ -72,7 +72,7 @@ def query_binary(state, cfg: OccGridConfig, pts):
     inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
     idx = jnp.clip((u * r).astype(jnp.int32), 0, r - 1)
     flat = idx[:, 0] * r * r + idx[:, 1] * r + idx[:, 2]
-    occ = jnp.take(state['binary'].reshape(-1), flat, axis=0)
+    occ = jnp.take(state['binary'].reshape(-1), flat, axis=0, mode='clip')
     return occ & inside
 
 
@@ -133,7 +133,7 @@ def trilinear_sample_3d(volume, xyz01):
     sy, sz = dims[1] * dims[2], dims[2]
 
     def gather(ix, iy, iz):
-        return jnp.take(flat, ix * sy + iy * sz + iz, axis=0)
+        return jnp.take(flat, ix * sy + iy * sz + iz, axis=0, mode='clip')
 
     out = 0.0
     for bx, wx in ((i0[0], 1 - f[0]), (i1[0], f[0])):
@@ -152,6 +152,39 @@ class AlphaGridMask(NamedTuple):
         u = (pts - self.aabb[0]) / (self.aabb[1] - self.aabb[0])
         u = jnp.clip(u, 0.0, 1.0)
         return trilinear_sample_3d(self.volume, u)
+
+
+def compact_indices(valid_flat, m: int):
+    """Stable compaction of valid sample slots into a fixed budget.
+
+    valid_flat: [N] bool. Returns (src [M] int32 — flat source index per
+    compacted slot, slot_mask [M] bool, dest [N] int32 — compacted slot per
+    source or M for dropped/invalid).
+
+    TPU-native replacement for dynamic-length compaction: one cumsum + one
+    scatter, all static shapes. Samples beyond the budget are dropped
+    (callers size ``m`` so this is rare).
+    """
+    n = valid_flat.shape[0]
+    pos = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1
+    keep = valid_flat & (pos < m)
+    dest = jnp.where(keep, pos, m)
+    src = jnp.zeros((m,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    n_valid = jnp.minimum(jnp.sum(valid_flat.astype(jnp.int32)), m)
+    slot_mask = jnp.arange(m) < n_valid
+    return src, slot_mask, dest
+
+
+def scatter_back(values_m, dest, fill=0.0):
+    """Expand compacted per-slot values [M, ...] back to flat [N, ...]:
+    out[i] = values_m[dest[i]] for mapped sources, ``fill`` elsewhere."""
+    m = values_m.shape[0]
+    mapped = dest < m
+    gathered = jnp.take(values_m, jnp.clip(dest, 0, m - 1), axis=0,
+                        mode='clip')
+    shape = mapped.shape + (1,) * (gathered.ndim - 1)
+    return jnp.where(mapped.reshape(shape), gathered, fill)
 
 
 def max_pool_3d_3x3(vol):

@@ -127,10 +127,10 @@ def sample_bilinear_2d(tex, uv):
     v1i = jnp.clip(v0.astype(jnp.int32) + 1, 0, w - 1)
 
     flat = tex.reshape(h * w, -1)
-    t00 = jnp.take(flat, u0i * w + v0i, axis=0)
-    t01 = jnp.take(flat, u0i * w + v1i, axis=0)
-    t10 = jnp.take(flat, u1i * w + v0i, axis=0)
-    t11 = jnp.take(flat, u1i * w + v1i, axis=0)
+    t00 = jnp.take(flat, u0i * w + v0i, axis=0, mode='clip')
+    t01 = jnp.take(flat, u0i * w + v1i, axis=0, mode='clip')
+    t10 = jnp.take(flat, u1i * w + v0i, axis=0, mode='clip')
+    t11 = jnp.take(flat, u1i * w + v1i, axis=0, mode='clip')
     return ((1 - fu) * ((1 - fv) * t00 + fv * t01)
             + fu * ((1 - fv) * t10 + fv * t11))
 
@@ -143,7 +143,7 @@ def sample_linear_1d(tex, u):
     f = (x - x0)[:, None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, l - 1)
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, l - 1)
-    return (1 - f) * jnp.take(tex, x0i, axis=0) + f * jnp.take(tex, x1i, axis=0)
+    return (1 - f) * jnp.take(tex, x0i, axis=0, mode='clip') + f * jnp.take(tex, x1i, axis=0, mode='clip')
 
 
 def _mip_weights(level, n_levels: int):

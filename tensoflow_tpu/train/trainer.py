@@ -61,6 +61,7 @@ def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
         clip_sample_variance=cfg['clip_sample_variance'],
         use_occ_grid=cfg['use_occ_grid'], occ_grid_reso=cfg['occ_grid_reso'],
         step_ratio=cfg['step_ratio'], occ_max_samples=cfg['occ_max_samples'],
+        compact_samples_per_ray=cfg.get('compact_samples_per_ray', 64),
         rgb_loss=cfg['rgb_loss'], apply_occ_loss=cfg['apply_occ_loss'],
         apply_tv_loss=cfg['apply_tv_loss'],
         apply_sparse_loss=cfg['apply_sparse_loss'],
@@ -139,6 +140,7 @@ class ShapeTrainer:
         self.params = sr.init_shape_renderer(k, self.rcfg)
         self.occ_cfg = grid_mod.OccGridConfig(resolution=cfg['occ_grid_reso'])
         self.occ_state = grid_mod.init_occ_grid(self.occ_cfg)
+        self.alpha_mask = None
         self.start_step = 0
         self.best_para = 0.0
         self.tx, self.opt_state = make_optimizer(cfg, self.params, 0)
@@ -186,13 +188,13 @@ class ShapeTrainer:
         radiance_on, occ_on = phase_key[1], phase_key[2]
 
         def step_fn(params, opt_state, occ_state, ray_batch, step, weights,
-                    rng):
+                    rng, alpha_mask):
             def loss_fn(p):
                 mips = light_mod.build_mips(p['shading']['envlight'],
                                             rcfg.shading.env)
                 outputs = sr.train_step_outputs(
                     p, rcfg, mips, occ_state, ray_batch, step, rng,
-                    radiance_on, occ_on)
+                    radiance_on, occ_on, alpha_mask=alpha_mask)
                 total, terms = losses.total_loss_shape(outputs, weights)
                 aux = {'psnr': outputs['psnr'], 'std': outputs['std'],
                        'sample_num': outputs['sample_num'], **terms}
@@ -286,11 +288,12 @@ class ShapeTrainer:
                 batch = sharding.shard_batch(self.mesh, batch)
             weights = losses.schedule_weights(self.cfg, step)
             radiance_on, occ_on = self.phase_flags(step)
-            fn = self._get_step_fn((self.rcfg, radiance_on, occ_on))
+            fn = self._get_step_fn((self.rcfg, radiance_on, occ_on,
+                                    self.alpha_mask is not None))
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, aux = fn(
                 self.params, self.opt_state, self.occ_state, batch,
-                step, weights, k)
+                step, weights, k, self.alpha_mask)
 
             if (step + 1) % log_every == 0 or step == self.start_step:
                 host = {k_: float(v) for k_, v in aux.items()
@@ -300,10 +303,22 @@ class ShapeTrainer:
                 if callback:
                     callback(host)
 
+            self.maybe_update_alpha_mask(step)
             if self.maybe_upsample(step):
                 pass
         self.start_step = end_step
         return logs
+
+    def maybe_update_alpha_mask(self, step: int):
+        """Alpha-mask refresh schedule (ref: trainer_inv.py:272-279) —
+        only for the non-occupancy-grid sampler."""
+        lst = self.cfg.get('update_AlphaMask_lst')
+        if (self.rcfg.use_occ_grid or not lst or step not in lst):
+            return
+        self.alpha_mask = sr.build_alpha_mask(
+            self.params, self.rcfg,
+            mul_length=self.cfg.get('mul_length', 10),
+            alpha_thresh=self.cfg.get('alphaMask_thres', 1e-4))
 
     # ------------------------------------------------------------------
     # checkpointing
