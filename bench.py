@@ -21,6 +21,7 @@ BASELINE_RAYS_PER_S = 25000.0  # CUDA reference anchor (see module docstring)
 
 def main():
     import jax
+    import jax.numpy as jnp
     # persistent compile cache: axon-tunnel compiles are minutes-long, the
     # cache makes repeat bench runs start in seconds
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
@@ -88,20 +89,25 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, total
 
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    # donation disabled: buffer donation serializes badly over the axon
+    # tunnel (measured ~10x step inflation); params fit HBM twice anyway
+    jitted = jax.jit(step_fn)
     key = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    # warmup + compile
+    # warmup + compile; the axon backend's block_until_ready does not
+    # reliably block, so force completion with a host fetch
     params, opt_state, total = jitted(params, opt_state, occ_state, batch,
                                       2000, weights, key)
-    jax.block_until_ready(total)
+    float(total)
 
     n_iters = 20
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, total = jitted(params, opt_state, occ_state,
-                                          batch, 2000 + i, weights, key)
-    jax.block_until_ready(total)
+                                          batch, 2000 + i, weights,
+                                          jax.random.PRNGKey(i))
+    float(total)
     dt = time.perf_counter() - t0
 
     rays_per_s = rays * n_iters / dt

@@ -188,8 +188,26 @@ def predict_outer_lights(params, cfg: MCShadingConfig, points, directions):
     raise NotImplementedError(cfg.outer_light_version)
 
 
+def get_human_light(params, points, directions, human_poses):
+    """Photographer reflection estimate on the camera plane
+    (ref: fields.py:935-949). All [N,...]-flat."""
+    from ..ops.math import (get_camera_plane_intersection,
+                            integrated_positional_encoding)
+    inter, dists, hits = get_camera_plane_intersection(
+        points, directions, human_poses)
+    scale = 0.3
+    mean = inter[..., :2] * scale
+    hits = hits & (jnp.linalg.norm(mean, axis=-1) < 1.5) & (dists > 0)
+    hits_f = hits.astype(points.dtype)[:, None]
+    mean = mean * hits_f
+    var = jnp.zeros_like(mean)
+    enc = integrated_positional_encoding(mean, var, 0, 6)
+    hl = mlp.apply_predictor(params['human_light'], enc, 'exp', 5.0) * hits_f
+    return hl[..., :3], jnp.clip(hl[..., 3:], 0.0, 1.0)
+
+
 def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
-               unit_size, points, directions):
+               unit_size, points, directions, human_poses=None):
     """Secondary-ray radiance for a dense [pn, sn, 3] direction set
     (ref: fields.py:951-975).
 
@@ -204,6 +222,12 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
         grid, o + 2.0 * unit_size * d, d)
 
     outer = predict_outer_lights(params, cfg, o, d)
+    if cfg.human_lights and human_poses is not None:
+        hp = jnp.broadcast_to(
+            human_poses[:, None], shape + human_poses.shape[1:]
+        ).reshape(-1, *human_poses.shape[1:])
+        hl, hw = get_human_light(params, o, d, hp)
+        outer = outer * (1.0 - hw) + hl * hw
     inner = get_inner_lights(params, cfg, inters, -d, normals)
     lights = jnp.where(hit[:, None], inner, outer)
     near_mask = (depth > eps).astype(lights.dtype)
@@ -245,7 +269,8 @@ def _flow_sample_halfvec(flow_params, fcfg, rng, pts, aabb, view_angles01,
 def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
                 pts, normals, view_dirs, metallic, roughness, albedo,
                 phase: ShadePhase, rng, is_train: bool,
-                flow_diffuse_copy=None, flow_specular_copy=None):
+                flow_diffuse_copy=None, flow_specular_copy=None,
+                human_poses=None):
     """The MC estimator (ref: fields.py:1075-1335). All dense/masked.
 
     Returns (colors [pn,3], outputs dict).
@@ -280,7 +305,8 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     kd = 1.0 - metallic[:, None, :]
     diffuse_lights, _ = get_lights(
         params, cfg, grid, unit_size,
-        jnp.broadcast_to(pts[:, None, :], diffuse_dirs.shape), diffuse_dirs)
+        jnp.broadcast_to(pts[:, None, :], diffuse_dirs.shape), diffuse_dirs,
+        human_poses)
     diffuse_weights = (albedo[:, None, :] * kd
                        * (saturate_dot(diffuse_dirs, normals[:, None, :])
                           / np.pi))
@@ -319,7 +345,8 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     dist = distribution_ggx(noh, roughness[:, None, :])
     spec_lights, light_hit = get_lights(
         params, cfg, grid, unit_size,
-        jnp.broadcast_to(pts[:, None, :], spec_dirs.shape), spec_dirs)
+        jnp.broadcast_to(pts[:, None, :], spec_dirs.shape), spec_dirs,
+        human_poses)
     spec_weights = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
     specular_colors = jnp.sum(
         spec_mask_f * spec_weights * spec_lights
@@ -401,7 +428,8 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
 
 def mc_forward(params, cfg: MCShadingConfig, grid, unit_size, aabb, pts,
                view_dirs, normals, phase: ShadePhase, rng, is_train: bool,
-               flow_diffuse_copy=None, flow_specular_copy=None):
+               flow_diffuse_copy=None, flow_specular_copy=None,
+               human_poses=None):
     """Full shade: materials + mixed estimator (ref: fields.py:1453-1473)."""
     view_dirs = safe_normalize(view_dirs)
     normals = safe_normalize(normals)
@@ -409,7 +437,7 @@ def mc_forward(params, cfg: MCShadingConfig, grid, unit_size, aabb, pts,
     colors, outputs = shade_mixed(
         params, cfg, grid, unit_size, aabb, pts, normals, view_dirs,
         metallic, roughness, albedo, phase, rng, is_train,
-        flow_diffuse_copy, flow_specular_copy)
+        flow_diffuse_copy, flow_specular_copy, human_poses)
     outputs['rgb_pr'] = colors
     return outputs
 

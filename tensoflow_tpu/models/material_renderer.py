@@ -157,7 +157,8 @@ def train_step_outputs(params, cfg: MaterialRendererConfig, grid, batch,
 
     outputs = mc_shading.mc_forward(
         params, cfg.shader, grid, unit_size(cfg), aabb, pts, view_dirs,
-        normals, phase, rng, True, flow_diffuse_copy, flow_specular_copy)
+        normals, phase, rng, True, flow_diffuse_copy, flow_specular_copy,
+        human_poses=batch.get('human_poses'))
     outputs['rgb_gt'] = rgb_gt
     outputs['loss_rgb'] = compute_rgb_loss(cfg, outputs['rgb_pr'], rgb_gt)
     mse = jnp.mean((outputs['rgb_pr'] - rgb_gt) ** 2)

@@ -256,6 +256,28 @@ def upsample_vm(field: FieldParams, res_target: Sequence[int]) -> FieldParams:
     return {'planes': planes, 'lines': lines}
 
 
+def shrink_vm(field: FieldParams, grid_size, aabb, new_aabb) -> FieldParams:
+    """Crop the VM grids to a tightened aabb (ref: fields.py:180-203).
+
+    Host-side (concrete shapes change). Returns (field, new_grid_size)."""
+    aabb = np.asarray(aabb, np.float64)
+    new_aabb = np.asarray(new_aabb, np.float64)
+    gs = np.asarray(grid_size)
+    units = (aabb[1] - aabb[0]) / (gs - 1)
+    t_l = np.round((new_aabb[0] - aabb[0]) / units).astype(int)
+    b_r = np.minimum(np.round((new_aabb[1] - aabb[0]) / units).astype(int)
+                     + 1, gs)
+    planes, lines = [], []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        planes.append(field['planes'][i][t_l[m0]:b_r[m0],
+                                         t_l[m1]:b_r[m1]])
+        lines.append(field['lines'][i][t_l[v]:b_r[v]])
+    new_size = tuple(int(x) for x in (b_r - t_l))
+    return {'planes': planes, 'lines': lines}, new_size
+
+
 def tv_loss_vm(field: FieldParams) -> jnp.ndarray:
     """Total-variation regularizer over planes+lines
     (ref: other_field.py:170-191 applied at fields.py:133-138)."""
