@@ -100,25 +100,42 @@ def param_group_label(path_str: str) -> str:
     return 'net'
 
 
-def make_optimizer(cfg, params, reset_step: int):
+def scale_by_tree(scales):
+    """Stateless transform: multiply each update leaf by a fixed scale."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(cfg, params, reset_step: int, label_fn=None):
+    """Per-group Adam as ONE adam pass + per-leaf base-lr scales.
+
+    All groups share the same cosine schedule shape (ref cosine factor is
+    global, trainer_inv.py:247-252), so group lrs differ only by a constant
+    — a single scale tree replaces optax.multi_transform, whose masked
+    3-way state compiles pathologically on the TPU backend."""
+    label_fn = label_fn or param_group_label
     factor = lr_factor_fn(cfg)
     base = {'xyz': cfg['lr_xyz_init'], 'net': cfg['lr_net_init'],
             'env': cfg['lr_env_init']}
     f0 = factor(reset_step)
 
-    def sched_for(b):
-        def sched(count):
-            return b * factor(reset_step + count) / f0
-        return sched
+    def sched(count):
+        return factor(reset_step + count) / f0
 
-    def label_tree(p):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: param_group_label(jax.tree_util.keystr(path)), p)
-
-    tx = optax.multi_transform(
-        {g: optax.adam(sched_for(b), b1=0.9, b2=0.99)
-         for g, b in base.items()},
-        label_tree)
+    scales = jax.tree_util.tree_map_with_path(
+        lambda path, _: base[label_fn(jax.tree_util.keystr(path))], params)
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.99),
+        optax.scale_by_schedule(sched),
+        scale_by_tree(scales),
+        optax.scale(-1.0),
+    )
     return tx, tx.init(params)
 
 

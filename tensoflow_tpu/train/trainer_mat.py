@@ -42,26 +42,9 @@ def mat_param_group_label(path_str: str) -> str:
 
 
 def make_mat_optimizer(cfg, params, reset_step: int):
-    factor = lr_factor_fn(cfg)
-    base = {'xyz': cfg['lr_xyz_init'], 'net': cfg['lr_net_init'],
-            'env': cfg['lr_env_init']}
-    f0 = factor(reset_step)
-
-    def sched_for(b):
-        def sched(count):
-            return b * factor(reset_step + count) / f0
-        return sched
-
-    def label_tree(p):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: mat_param_group_label(
-                jax.tree_util.keystr(path)), p)
-
-    tx = optax.multi_transform(
-        {g: optax.adam(sched_for(b), b1=0.9, b2=0.99)
-         for g, b in base.items()},
-        label_tree)
-    return tx, tx.init(params)
+    from .trainer import make_optimizer
+    return make_optimizer(cfg, params, reset_step,
+                          label_fn=mat_param_group_label)
 
 
 def build_material_config(cfg: Dict[str, Any],
