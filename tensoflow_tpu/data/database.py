@@ -276,4 +276,11 @@ def get_database_split(database: BaseDatabase, split_type='validation',
         img_ids = list(database.get_img_ids())
         random.shuffle(img_ids)
         return img_ids[1:], img_ids[:1]
+    if split_type == 'test':
+        # pickled fixed split (ref: database.py:840-841 reads
+        # configs/synthetic_split_128.pkl as (test_ids, train_ids))
+        import pickle
+        with open('configs/synthetic_split_128.pkl', 'rb') as f:
+            test_ids, train_ids = pickle.load(f)
+        return train_ids, test_ids
     raise NotImplementedError(split_type)

@@ -49,6 +49,7 @@ class MCShadingConfig(NamedTuple):
     inner_light_exp_max: float = 5.0
     outer_light_version: str = 'envlight'   # 'direction'|'sphere_direction'
     geometry_type: str = 'schlick'
+    shade_fn: str = 'shade_mixed'           # 'shade_mixed'|'shade_mixed_all'
     reg_min_max: bool = True
     random_azimuth: bool = True
     human_lights: bool = False
@@ -426,6 +427,99 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     return colors, outputs
 
 
+def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
+                    pts, normals, view_dirs, metallic, roughness, albedo,
+                    phase: ShadePhase, rng, is_train: bool,
+                    flow_all_copy=None, human_poses=None):
+    """Single-flow combined estimator (ref: fields.py:1337-1451): ONE
+    direction set drives both the diffuse and specular lobes, optionally
+    sampled from the combined flow copy."""
+    pn = pts.shape[0]
+    k_f, k_a = jax.random.split(rng)
+    fcfg = cfg.flow
+
+    view_angles = direction_to_angle(normals, view_dirs[:, None, :])[:, 0]
+    view_angles01 = view_angles / jnp.asarray(
+        [2 * np.pi, 0.5 * np.pi], view_angles.dtype)
+
+    dtable = jnp.asarray(direction_samples_01(cfg.diffuse_sample_num))
+    az_rng = k_a if (is_train and cfg.random_azimuth) else None
+    if phase.nis_sample_diffuse and flow_all_copy is not None:
+        dirs1, _, prob1, half1, _ = _flow_sample_halfvec(
+            flow_all_copy, fcfg, k_f, pts, aabb, view_angles01, roughness,
+            normals, view_dirs, cfg.nis_sample_num, is_train)
+        dirs2, _, prob2, half2 = sample_diffuse_directions(
+            dtable, normals, view_dirs, az_rng)
+        directions = jnp.concatenate([dirs1, dirs2], 1)
+        prob = jnp.concatenate([prob1, prob2], 1)
+        angles_half = jnp.concatenate([half1, half2], 1)
+    else:
+        directions, _, prob, angles_half = sample_diffuse_directions(
+            dtable, normals, view_dirs, az_rng)
+    sn = directions.shape[1]
+
+    lights, light_hit = get_lights(
+        params, cfg, grid, unit_size,
+        jnp.broadcast_to(pts[:, None, :], directions.shape), directions,
+        human_poses)
+
+    kd = 1.0 - metallic[:, None, :]
+    diffuse_w = (albedo[:, None, :] * kd
+                 * (saturate_dot(directions, normals[:, None, :]) / np.pi))
+    diffuse_colors = jnp.mean(diffuse_w * lights / jnp.maximum(prob, EPS), 1)
+
+    f0 = 0.04 * (1.0 - metallic) + metallic * albedo
+    fresnel, h, hov = fresnel_schlick_directions(
+        f0[:, None, :], view_dirs[:, None, :], directions)
+    nov = saturate_dot(normals, view_dirs)[:, None, :]
+    nol = saturate_dot(normals[:, None, :], directions)
+    geom = brdf_geometry(nov, nol, roughness[:, None, :], cfg.geometry_type)
+    noh = saturate_dot(normals[:, None, :], h)
+    dist = distribution_ggx(noh, roughness[:, None, :])
+    spec_w = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
+    specular_colors = jnp.mean(spec_w * lights / jnp.maximum(prob, EPS), 1)
+
+    colors = linear_to_srgb(diffuse_colors + specular_colors)
+    light_hit_f = light_hit[..., None].astype(pts.dtype)
+    outputs: Dict[str, Any] = {
+        'albedo': albedo,
+        'normal': (normals + 1.0) / 2.0,
+        'roughness': roughness,
+        'metallic': metallic,
+        'diffuse_light': jnp.clip(linear_to_srgb(jnp.mean(lights, 1)), 0, 1),
+        'specular_light': jnp.clip(linear_to_srgb(jnp.mean(lights, 1)), 0, 1),
+        'diffuse_color': jnp.clip(linear_to_srgb(diffuse_colors), 0, 1),
+        'specular_color': jnp.clip(linear_to_srgb(specular_colors), 0, 1),
+        'visibility': 1.0 - jnp.mean(light_hit_f, 1),
+        'indirect_light': jnp.mean(lights * light_hit_f, 1),
+    }
+    outputs['approximate_light'] = jnp.clip(
+        linear_to_srgb(jnp.mean(kd * lights, 1)
+                       + outputs['specular_color']), 0, 1)
+
+    fx = (diffuse_w + spec_w) * lights
+    outputs['variance'] = jnp.var(
+        jnp.mean(fx, -1, keepdims=True) / jnp.maximum(prob, EPS))
+    if (phase.nis_loss_diffuse or phase.nis_loss_specular) \
+            and cfg.use_nis_all:
+        phi = angles_half[..., 0:1]
+        theta = angles_half[..., 1:2]
+        x = jnp.clip(jnp.concatenate(
+            [phi / (2 * np.pi), theta / (0.5 * np.pi)], -1), EPS, 1 - EPS)
+        _, logqx_ = flow_mod.flow_log_density(
+            params['flow_all'], fcfg, pts, aabb, view_angles01, roughness,
+            x)
+        h_all = safe_normalize(view_dirs[:, None, :] + directions)
+        hov_all = saturate_dot(h_all, view_dirs[:, None, :])
+        logqx = logqx_ - jnp.log(jnp.maximum(
+            4 * np.pi ** 2 * hov_all * jnp.sin(theta), EPS))
+        outputs['loss_nis'] = -jnp.mean(
+            fx * logqx / jnp.maximum(prob, EPS))
+    else:
+        outputs['loss_nis'] = jnp.zeros(())
+    return colors, outputs
+
+
 def mc_forward(params, cfg: MCShadingConfig, grid, unit_size, aabb, pts,
                view_dirs, normals, phase: ShadePhase, rng, is_train: bool,
                flow_diffuse_copy=None, flow_specular_copy=None,
@@ -434,10 +528,16 @@ def mc_forward(params, cfg: MCShadingConfig, grid, unit_size, aabb, pts,
     view_dirs = safe_normalize(view_dirs)
     normals = safe_normalize(normals)
     metallic, roughness, albedo = predict_materials(params, cfg, pts, aabb)
-    colors, outputs = shade_mixed(
-        params, cfg, grid, unit_size, aabb, pts, normals, view_dirs,
-        metallic, roughness, albedo, phase, rng, is_train,
-        flow_diffuse_copy, flow_specular_copy, human_poses)
+    if cfg.shade_fn == 'shade_mixed_all':
+        colors, outputs = shade_mixed_all(
+            params, cfg, grid, unit_size, aabb, pts, normals, view_dirs,
+            metallic, roughness, albedo, phase, rng, is_train,
+            flow_all_copy=flow_diffuse_copy, human_poses=human_poses)
+    else:
+        colors, outputs = shade_mixed(
+            params, cfg, grid, unit_size, aabb, pts, normals, view_dirs,
+            metallic, roughness, albedo, phase, rng, is_train,
+            flow_diffuse_copy, flow_specular_copy, human_poses)
     outputs['rgb_pr'] = colors
     return outputs
 

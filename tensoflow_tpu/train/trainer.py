@@ -441,6 +441,8 @@ class ShapeTrainer:
                 gt = cv2.resize(gt, (w, h), interpolation=cv2.INTER_LINEAR)
                 K = np.diag([ds, ds, 1.0]).astype(np.float32) @ K
             out = self.render_image(pose, K, h, w)
-            mse = float(np.mean((out['ray_rgb'] - gt) ** 2))
-            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+            from . import metrics_vis
+            res = metrics_vis.eval_and_dump(
+                gt, out, self.cfg['name'], self.start_step, vid)
+            psnrs.append(res['psnr'])
         return float(np.mean(psnrs))

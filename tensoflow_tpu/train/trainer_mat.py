@@ -162,6 +162,13 @@ class MaterialTrainer:
         """(ref: fields.py:1050-1065)"""
         scfg = self.rcfg.shader
         s1 = step + 1
+        if (scfg.use_nis_all and s1 >= scfg.nis_start_iter
+                and (s1 - scfg.nis_start_iter) % scfg.nis_update_interval
+                == 0):
+            # combined-flow variant (shade_mixed_all): the single copy is
+            # passed through the diffuse-copy slot
+            self.flow_copies['diffuse'] = jax.tree.map(
+                jnp.copy, self.params['flow_all'])
         if (scfg.use_nis_diffuse and s1 >= scfg.nis_start_iter
                 and (s1 - scfg.nis_start_iter) % scfg.nis_update_interval
                 == 0):

@@ -97,3 +97,17 @@ def test_vertex_material_baking(geo_ckpt):
     assert mats['albedo'].shape == (100, 3)
     assert mats['roughness'].shape == (100, 1)
     assert (mats['roughness'] >= 0).all()
+
+
+@pytest.mark.slow
+def test_shade_mixed_all_path(geo_ckpt):
+    cfg = mat_cfg()
+    cfg['shader_cfg'].update({'shade_fn': 'shade_mixed_all',
+                              'use_nis_all': True,
+                              'use_nis_diffuse': False,
+                              'use_nis_specular': False,
+                              'nis_sample_num': 8})
+    trainer = MaterialTrainer(cfg, geo_ckpt)
+    trainer.init_dataset(max_train_rays=6000)
+    logs = trainer.train(n_steps=8, log_every=4)
+    assert np.isfinite(logs[-1]['loss'])
