@@ -13,6 +13,8 @@ import numpy as np
 
 
 def main():
+    from tensoflow_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument('--cfg', type=str, required=True)
     parser.add_argument('--ckpt', type=str, default=None)

@@ -14,6 +14,8 @@ import os
 
 
 def main():
+    from tensoflow_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument('--cfg', type=str, required=True)
     parser.add_argument('--steps', type=int, default=None,
