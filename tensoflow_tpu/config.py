@@ -87,6 +87,7 @@ TRAINER_DEFAULTS: Dict[str, Any] = {
     'occ_grid_reso': 128,
     'occ_max_samples': 192,
     'compact_samples_per_ray': 64,
+    'gather_dtype': 'float32',
     'blend_ratio': 0,
 
     # losses (ref: loss.py defaults)

@@ -168,13 +168,93 @@ class NeRFSynDatabase(TensoSDFSynDatabase):
         self.scale_factor = float(parts[2]) if len(parts) > 2 else 0.5
 
 
-class TensoIRDatabase(TensoSDFSynDatabase):
-    """TensoIR relighting scenes (ref: database.py:376-477): blender layout
-    with per-frame subdirectories; albedo/normal extras under test."""
+class TensoIRDatabase(BaseDatabase):
+    """TensoIR relighting scenes (ref: database.py:376-477): per-view
+    subdirectories '<split>_NNN/' each holding metadata.json +
+    rgba_<light>_<rot>.png (+ normal/albedo pngs for test)."""
 
     def __init__(self, database_name, dataset_dir, isTest=False,
-                 isWhiteBG=True):
-        super().__init__(database_name, dataset_dir, isTest, isWhiteBG)
+                 isWhiteBG=True, light_name='sunset', light_rotation='000'):
+        super().__init__(database_name)
+        _, model_name = database_name.split('/')
+        self.root = os.path.join(dataset_dir, model_name)
+        self.light_name, self.light_rotation = light_name, light_rotation
+        splits = ['test'] if isTest else ['train', 'val']
+        load_extras = isTest
+
+        self.imgs_all, self.masks_all, self.pose_all = [], [], []
+        self.normals_all, self.albedos_all = [], []
+        meta = None
+        for s in splits:
+            items = sorted(d for d in os.listdir(self.root)
+                           if d.startswith(s)
+                           and os.path.isdir(os.path.join(self.root, d)))
+            for item in items:
+                item_path = os.path.join(self.root, item)
+                with open(os.path.join(item_path, 'metadata.json')) as fp:
+                    meta = json.load(fp)
+                fname = os.path.join(
+                    item_path,
+                    f'rgba_{self.light_name}_{self.light_rotation}.png')
+                img = imread(fname).astype(np.float32) / 255.0
+                mask = img[..., -1:]
+                if isWhiteBG:
+                    rgb = ((img[..., :3] * mask + (1 - mask)) * 255).astype(
+                        np.uint8)
+                else:
+                    rgb = (img[..., :3] * mask * 255).astype(np.uint8)
+                self.imgs_all.append(rgb)
+                self.masks_all.append(mask)
+                self.pose_all.append(np.array(list(map(
+                    float, meta['cam_transform_mat'].split(',')))
+                    ).reshape(4, 4))
+                if load_extras:
+                    nrm_im = imread(os.path.join(item_path, 'normal.png'))
+                    nrm = np.array(nrm_im)[..., :3] / 255.0
+                    nrm = (nrm - 0.5) * 2.0
+                    na = np.array(nrm_im)[..., -1:] / 255.0
+                    nrm = nrm * na + (1 - na) * np.array([0, 0, 1.0])
+                    self.normals_all.append(nrm)
+                    alb_im = imread(os.path.join(item_path, 'albedo.png'))
+                    alb = np.array(alb_im)[..., :3] / 255.0
+                    aa = np.array(alb_im)[..., -1:] / 255.0
+                    self.albedos_all.append(alb * aa)
+
+        self.H, self.W = int(meta['imh']), int(meta['imw'])
+        cax = float(meta['cam_angle_x'])
+        self.focal = 0.5 * self.W / np.tan(0.5 * cax)
+        self.K = np.array([[self.focal, 0, 0.5 * self.W],
+                           [0, self.focal, 0.5 * self.H],
+                           [0, 0, 1]], np.float32)
+        self.scale_factor = 0.5
+        self.img_ids = list(range(len(self.imgs_all)))
+
+    def get_image(self, i):
+        return self.imgs_all[i]
+
+    def get_K(self, i):
+        return self.K
+
+    def get_pose(self, i):
+        pose = self.pose_all[i].copy()
+        pose[:, 3:] *= self.scale_factor
+        return pose
+
+    def get_img_ids(self):
+        return self.img_ids
+
+    def get_depth(self, i):
+        return (np.zeros((self.H, self.W), np.float32),
+                self.masks_all[i][..., -1])
+
+    def get_mask(self, i):
+        return self.masks_all[i][..., -1]
+
+    def get_normal(self, i):
+        return self.normals_all[i]
+
+    def get_albedo(self, i):
+        return self.albedos_all[i]
 
 
 class ORBDatabase(BaseDatabase):

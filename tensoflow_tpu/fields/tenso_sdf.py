@@ -34,6 +34,9 @@ class SDFConfig(NamedTuple):
     n_levels: int = 1
     sdf_multires: int = 3
     init_radius: float = 0.2
+    # 'float32' | 'bfloat16': storage dtype for the gather hot path
+    # (params stay f32 for Adam; cast once per step)
+    gather_dtype: str = 'float32'
 
 
 def units(cfg: SDFConfig, aabb) -> jnp.ndarray:
@@ -79,7 +82,9 @@ def apply_tenso_sdf(params, cfg: SDFConfig, xyz, aabb, level=None):
     """Field forward: [N,3] world coords -> [N, 1+app_dim]
     (ref: fields.py:262-299)."""
     xyz01 = contraction(xyz, aabb)
-    feats = tfield.vm_features(params['field'], xyz01, level, cfg.n_levels)
+    gd = jnp.bfloat16 if cfg.gather_dtype == 'bfloat16' else None
+    feats = tfield.vm_features(params['field'], xyz01, level, cfg.n_levels,
+                               gather_dtype=gd)
     if cfg.sdf_multires > 0:
         # multires==3 embeds the *contracted* coords (ref: fields.py:294-295)
         pe_in = xyz01 if cfg.sdf_multires == 3 else xyz

@@ -131,8 +131,9 @@ def sample_bilinear_2d(tex, uv):
     t01 = jnp.take(flat, u0i * w + v1i, axis=0, mode='clip')
     t10 = jnp.take(flat, u1i * w + v0i, axis=0, mode='clip')
     t11 = jnp.take(flat, u1i * w + v1i, axis=0, mode='clip')
-    return ((1 - fu) * ((1 - fv) * t00 + fv * t01)
-            + fu * ((1 - fv) * t10 + fv * t11))
+    out = ((1 - fu) * ((1 - fv) * t00 + fv * t01)
+           + fu * ((1 - fv) * t10 + fv * t11))
+    return out.astype(jnp.float32)
 
 
 def sample_linear_1d(tex, u):
@@ -143,7 +144,9 @@ def sample_linear_1d(tex, u):
     f = (x - x0)[:, None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, l - 1)
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, l - 1)
-    return (1 - f) * jnp.take(tex, x0i, axis=0, mode='clip') + f * jnp.take(tex, x1i, axis=0, mode='clip')
+    out = ((1 - f) * jnp.take(tex, x0i, axis=0, mode='clip')
+           + f * jnp.take(tex, x1i, axis=0, mode='clip'))
+    return out.astype(jnp.float32)
 
 
 def _mip_weights(level, n_levels: int):
@@ -179,12 +182,16 @@ def sample_mip_1d(pyramid: Sequence[jnp.ndarray], u, level):
 # the VM field feature op
 # ---------------------------------------------------------------------------
 
-def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1):
+def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1,
+                gather_dtype=None):
     """Features of a VM field at contracted coords.
 
     field:  {'planes': [3x (H,W,C)], 'lines': [3x (L,C)]}
     xyz01:  [N, 3] in [0,1] (already contracted into the aabb)
     level:  [N] fractional mip level or None (level 0)
+    gather_dtype: optional storage dtype (e.g. jnp.bfloat16) — the texture
+    is cast once per call and gathered at half bandwidth; interpolation
+    weights and outputs stay float32.
     Returns [N, 3*C] (plane_i ⊙ line_i concatenated over i), matching the
     reference's feature ordering (ref: fields.py:272-298: concat over planes
     of per-component products).
@@ -195,6 +202,12 @@ def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1):
         level = jnp.zeros((n,), xyz01.dtype)
     else:
         level = jax.lax.stop_gradient(jnp.reshape(level, (n,)))
+
+    if gather_dtype is not None:
+        field = {'planes': [p.astype(gather_dtype)
+                            for p in field['planes']],
+                 'lines': [l.astype(gather_dtype)
+                           for l in field['lines']]}
 
     feats = []
     for i in range(3):
