@@ -91,8 +91,12 @@ def apply_tenso_sdf(params, cfg: SDFConfig, xyz, aabb, level=None):
         xyz_in = positional_encoding(pe_in, cfg.sdf_multires)
     else:
         xyz_in = xyz
-    h = jnp.concatenate([feats, xyz_in], axis=-1)
-    h = mlp.apply_linear(params['mlp'][0], h)
+    # split matmul instead of concat+matmul: avoids materializing the
+    # [N, 129] concat (a large relayout copy on TPU) and keeps each
+    # contraction K-dim MXU-friendly (108/21 instead of 129)
+    w0 = params['mlp'][0]['w']
+    nf = feats.shape[-1]
+    h = (feats @ w0[:nf] + xyz_in @ w0[nf:]) + params['mlp'][0]['b']
     h = mlp.softplus100(h)
     return mlp.apply_linear(params['mlp'][1], h)
 
