@@ -1,0 +1,101 @@
+"""Secondary benchmark: stage-2 (material) train-step throughput.
+
+Same protocol as bench.py (host-fetch timing, best-of-3 windows); prints one
+JSON line. Not run by the driver (which runs bench.py); provided for
+profiling the MC-shading path at reference scale (2048 surface points,
+512+256 analytic + 64+32 flow samples, sphere-traced visibility).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    from tensoflow_tpu import config as config_mod
+    from tensoflow_tpu.fields import mc_shading
+    from tensoflow_tpu.models import material_renderer as mr
+    from tensoflow_tpu.ops import sdf_trace
+    from tensoflow_tpu.train import losses
+    from tensoflow_tpu.train.trainer_mat import (build_material_config,
+                                                 make_mat_optimizer)
+    import optax
+
+    rays = 2048
+    cfg = config_mod.load_config(extra={
+        'train_ray_num': rays, 'isMaterial': True,
+        'shader_cfg': {'outer_light_version': 'envlight'},
+    })
+    geo_kwargs = {'grid_size': [128, 128, 128], 'sdf_n_comp': 36,
+                  'sdf_dim': 256, 'app_dim': 128, 'n_levels': 1,
+                  'aabb': [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]}
+    rcfg = build_material_config(cfg, geo_kwargs)
+
+    # analytic sphere SDF grid as the frozen geometry stand-in
+    xs = np.linspace(-1, 1, rcfg.bake_resolution, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    vals = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) - 0.5
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), rcfg.shader)
+    tx, opt_state = make_mat_optimizer(cfg, params, 0)
+    weights = losses.schedule_weights(cfg, 2000)
+
+    rng = np.random.RandomState(0)
+    d = rng.randn(rays, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pts = (d * 0.5).astype(np.float32)          # on the sphere surface
+    batch = {
+        'inters': jnp.asarray(pts),
+        'normals': jnp.asarray(d),
+        'rays_d': jnp.asarray(-d),
+        'rgb': jnp.asarray(rng.rand(rays, 3).astype(np.float32)),
+    }
+    phase = mc_shading.ShadePhase(nis_loss_diffuse=True,
+                                  nis_loss_specular=True)
+
+    def step_fn(params, opt_state, batch, step, weights, rng):
+        def loss_fn(p):
+            outputs = mr.train_step_outputs(p, rcfg, grid, batch, phase,
+                                            rng, step)
+            total, _ = losses.total_loss_material(outputs, weights)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    jitted = jax.jit(step_fn)
+    params, opt_state, total = jitted(params, opt_state, batch, 2000,
+                                      weights, jax.random.PRNGKey(0))
+    float(total)
+
+    n_iters = 5
+    best_dt = float('inf')
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            params, opt_state, total = jitted(
+                params, opt_state, batch, 2000 + i, weights,
+                jax.random.PRNGKey(w * n_iters + i))
+        float(total)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    rays_per_s = rays * n_iters / best_dt
+    print(json.dumps({
+        'metric': 'stage2_train_rays_per_s_per_chip',
+        'value': round(rays_per_s, 1),
+        'unit': 'rays/s',
+        'vs_baseline': round(rays_per_s / 25000.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -34,6 +34,23 @@ def main():
         print(' '.join(f'{k}={v:.5g}' if isinstance(v, float) else
                        f'{k}={v}' for k, v in info.items()), flush=True)
 
+    # source snapshot for reproducibility (ref: trainer_inv.py:385-395)
+    import shutil
+    rec_dir = os.path.join(model_dir, 'recording')
+    os.makedirs(rec_dir, exist_ok=True)
+    try:
+        shutil.copyfile(args.cfg, os.path.join(rec_dir, 'config.yaml'))
+        pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'tensoflow_tpu')
+        dst = os.path.join(rec_dir, 'tensoflow_tpu')
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(pkg, dst,
+                        ignore=shutil.ignore_patterns('__pycache__',
+                                                      'assets'))
+    except OSError as e:
+        print(f'[recording] skipped: {e}')
+
     if cfg.get('network', 'shape') == 'material' or cfg.get('isMaterial'):
         from tensoflow_tpu.train.trainer_mat import MaterialTrainer
         trainer = MaterialTrainer(cfg, cfg['geo_model_path'])
