@@ -209,10 +209,13 @@ def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1,
                  'lines': [l.astype(gather_dtype)
                            for l in field['lines']]}
 
+    # column slices (NOT advanced indexing — that lowers to a gather with
+    # relayout copies on TPU)
+    cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
     feats = []
     for i in range(3):
-        uv = xyz01[:, jnp.array(MAT_MODE[i])]
-        w = xyz01[:, VEC_MODE[i]]
+        uv = jnp.stack([cols[MAT_MODE[i][0]], cols[MAT_MODE[i][1]]], axis=1)
+        w = cols[VEC_MODE[i]]
         if n_levels > 1:
             p_pyr = build_pyramid_2d(field['planes'][i], n_levels)
             l_pyr = build_pyramid_1d(field['lines'][i], n_levels)
