@@ -71,6 +71,11 @@ class MCShadingConfig(NamedTuple):
     light_reso: int = 128
     disable_tensorial: bool = False
     disable_reflected: bool = False
+    # fraction of secondary rays budgeted for the (expensive) inner-light
+    # MLP; hits are compacted to this budget, overflow falls back to the
+    # outer light (0 = dense, no compaction). Typical hit rates are well
+    # under 0.5 for outward hemispheres.
+    inner_light_budget: float = 0.5
 
     # material field
     mat_n_comp: int = 36
@@ -229,8 +234,26 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
         ).reshape(-1, *human_poses.shape[1:])
         hl, hw = get_human_light(params, o, d, hp)
         outer = outer * (1.0 - hw) + hl * hw
-    inner = get_inner_lights(params, cfg, inters, -d, normals)
-    lights = jnp.where(hit[:, None], inner, outer)
+
+    n_rays = o.shape[0]
+    if 0.0 < cfg.inner_light_budget < 1.0:
+        # compact hit rays before the 4x256 inner-light MLP: misses only
+        # need the cubemap lookup above. Overflow beyond the budget falls
+        # back to the outer light.
+        from ..ops.grid import compact_indices, scatter_back
+        m = max(int(n_rays * cfg.inner_light_budget), 1)
+        src, slot_mask, dest = compact_indices(hit, m)
+        inner_m = get_inner_lights(
+            params, cfg,
+            jnp.take(inters, src, axis=0, mode='clip'),
+            -jnp.take(d, src, axis=0, mode='clip'),
+            jnp.take(normals, src, axis=0, mode='clip'))
+        inner = scatter_back(inner_m, dest)
+        mapped = dest < m
+        lights = jnp.where((hit & mapped)[:, None], inner, outer)
+    else:
+        inner = get_inner_lights(params, cfg, inters, -d, normals)
+        lights = jnp.where(hit[:, None], inner, outer)
     near_mask = (depth > eps).astype(lights.dtype)
     lights = lights * near_mask
     return lights.reshape(*shape, 3), hit.reshape(shape)
