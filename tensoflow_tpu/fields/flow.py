@@ -383,6 +383,22 @@ def _run_blocks(params, cfg: FlowConfig, x, logj, feature, inverse: bool):
     return x.reshape(*pre_shape, cfg.d), logj.reshape(*pre_shape, 1)
 
 
+def _prior_log_prob(cfg: FlowConfig, z):
+    """Prior density per flow variant (ref registry flow.py:644-648:
+    pwquad/pwlinear -> SphereSampler, realnvp -> factorized gaussian)."""
+    if cfg.flow_type == 'realnvp':
+        return jnp.sum(-0.5 * z ** 2 - 0.5 * np.log(2 * np.pi), -1,
+                       keepdims=True)
+    return sphere_prior_log_prob(z)
+
+
+def _prior_sample(cfg: FlowConfig, rng, pn: int, sn: int, train: bool):
+    if cfg.flow_type == 'realnvp':
+        z = jax.random.normal(rng, (pn, sn, cfg.d))
+        return z, -_prior_log_prob(cfg, z)
+    return sphere_prior_sample(rng, pn, sn, train)
+
+
 def flow_log_density(params, cfg: FlowConfig, pts, aabb, refl_angles01,
                      roughness, x, rays_id=None):
     """Density evaluation: x -> (z, log q(x)) (ref: flow.py:801-831).
@@ -393,8 +409,14 @@ def flow_log_density(params, cfg: FlowConfig, pts, aabb, refl_angles01,
     if rays_id is not None:
         feature = jnp.take(feature, rays_id, axis=0, mode='clip')
     logj = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    if cfg.flow_type == 'realnvp':
+        # output sigmoid cell (ref: flow.py:126-144): invert it first
+        z0 = jnp.clip(x, 1e-6, 1 - 1e-6)
+        logj = logj - jnp.sum(
+            jnp.log(jnp.maximum(z0 * (1 - z0), 1e-6)), -1, keepdims=True)
+        x = jnp.log(z0 / (1 - z0))
     z, logj = _run_blocks(params, cfg, x, logj, feature, inverse=True)
-    logqx = logj + sphere_prior_log_prob(z)
+    logqx = logj + _prior_log_prob(cfg, z)
     return z, logqx
 
 
@@ -404,6 +426,12 @@ def flow_sample(params, cfg: FlowConfig, rng, pts, aabb, refl_angles01,
 
     Returns (x [pn,sn,2], logq [pn,sn,1])."""
     pn = pts.shape[0]
-    x, logj = sphere_prior_sample(rng, pn, n_samples, train)
+    x, logj = _prior_sample(cfg, rng, pn, n_samples, train)
     feature = flow_feature(params, cfg, pts, aabb, refl_angles01, roughness)
-    return _run_blocks(params, cfg, x, logj, feature, inverse=False)
+    x, logj = _run_blocks(params, cfg, x, logj, feature, inverse=False)
+    if cfg.flow_type == 'realnvp':
+        y = jnp.clip(jax.nn.sigmoid(x), 1e-6, 1 - 1e-6)
+        logj = logj + jnp.sum(
+            jnp.log(jnp.maximum(y * (1 - y), 1e-6)), -1, keepdims=True)
+        x = y
+    return x, logj

@@ -69,6 +69,7 @@ class MCShadingConfig(NamedTuple):
     use_half_specular: bool = True
     use_half_all: bool = True
     light_reso: int = 128
+    flow_type: str = 'pwquad'     # 'pwquad' | 'pwlinear' | 'realnvp'
     disable_tensorial: bool = False
     disable_reflected: bool = False
     # fraction of secondary rays budgeted for the (expensive) inner-light
@@ -89,6 +90,7 @@ class MCShadingConfig(NamedTuple):
     def flow(self) -> flow_mod.FlowConfig:
         return flow_mod.FlowConfig(
             grid_size=self.grid_size,
+            flow_type=self.flow_type,
             disable_tensorial=self.disable_tensorial,
             disable_reflected=self.disable_reflected)
 
@@ -226,6 +228,11 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
     # trace origin offset (ref: materialRenderer.py:223 lambda)
     inters, normals, depth, hit = sdf_trace.sphere_trace(
         grid, o + 2.0 * unit_size * d, d)
+    # the reference's raytracer is a non-differentiable CUDA op (ref:
+    # raytracing bindings; materialRenderer.py:223) — match that: no
+    # gradient flows from the trace geometry back into the sampled
+    # directions (whose normalize/arccos chain NaNs at degenerate hits).
+    inters, normals, depth = jax.lax.stop_gradient((inters, normals, depth))
 
     outer = predict_outer_lights(params, cfg, o, d)
     if cfg.human_lights and human_poses is not None:

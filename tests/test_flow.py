@@ -130,3 +130,39 @@ def test_flow_gradients_finite():
         assert np.isfinite(np.asarray(leaf)).all()
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
     assert total > 0
+
+
+def test_realnvp_variant_sample_density_consistency():
+    cfg = flow_mod.FlowConfig(grid_size=(16, 16, 16), flow_type='realnvp')
+    params = flow_mod.init_tenso_flow(jax.random.PRNGKey(0), cfg)
+    params = _randomize(params, 0.02)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 3)).astype(np.float32))
+    refl = jnp.asarray(rng.rand(4, 2).astype(np.float32))
+    rough = jnp.asarray(rng.rand(4, 1).astype(np.float32))
+    x, logq_s = flow_mod.flow_sample(params, cfg, jax.random.PRNGKey(3),
+                                     pts, AABB, refl, rough, 12,
+                                     train=False)
+    assert (np.asarray(x) > 0).all() and (np.asarray(x) < 1).all()
+    _, logq_d = flow_mod.flow_log_density(params, cfg, pts, AABB, refl,
+                                          rough, x)
+    np.testing.assert_allclose(np.asarray(logq_s), -np.asarray(logq_d),
+                               atol=5e-2)
+
+
+def test_pwlinear_variant_end_to_end():
+    cfg = flow_mod.FlowConfig(grid_size=(16, 16, 16), flow_type='pwlinear',
+                              n_bins=8)
+    params = flow_mod.init_tenso_flow(jax.random.PRNGKey(1), cfg)
+    params = _randomize(params, 0.02)
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 3)).astype(np.float32))
+    refl = jnp.asarray(rng.rand(4, 2).astype(np.float32))
+    rough = jnp.asarray(rng.rand(4, 1).astype(np.float32))
+    x, logq_s = flow_mod.flow_sample(params, cfg, jax.random.PRNGKey(5),
+                                     pts, AABB, refl, rough, 12,
+                                     train=False)
+    _, logq_d = flow_mod.flow_log_density(params, cfg, pts, AABB, refl,
+                                          rough, x)
+    np.testing.assert_allclose(np.asarray(logq_s), -np.asarray(logq_d),
+                               atol=5e-2)

@@ -1,0 +1,84 @@
+"""Analytic validation of the stage-2 MC estimator.
+
+Under a constant environment light L with no occluding geometry, the
+diffuse term integrates exactly: E[albedo * kd * (cos/pi) * L / pdf] =
+albedo * kd * L (the cosine-hemisphere integral of cos/pi is 1). This
+pins down the estimator weights, pdfs and masking end-to-end.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensoflow_tpu.fields import mc_shading
+from tensoflow_tpu.ops import sdf_trace
+from tensoflow_tpu.ops.math import srgb_to_linear
+
+
+@pytest.fixture(scope='module')
+def setup():
+    cfg = mc_shading.MCShadingConfig(
+        diffuse_sample_num=256, specular_sample_num=64,
+        grid_size=(16, 16, 16), light_reso=16,
+        use_nis_diffuse=False, use_nis_specular=False,
+        inner_light_budget=0.25)
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg)
+    # no geometry anywhere: positive SDF everywhere -> all secondary rays
+    # miss -> outer light only. init env light is constant exp(log 0.5)=0.5
+    vals = np.full((32, 32, 32), 2.0, np.float32)
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    return cfg, params, grid
+
+
+def test_diffuse_estimator_matches_analytic(setup):
+    cfg, params, grid = setup
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    rng = np.random.RandomState(0)
+    n = 32
+    normals = rng.randn(n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    view = normals + 0.2 * rng.randn(n, 3).astype(np.float32)
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    pts = (0.1 * rng.randn(n, 3)).astype(np.float32)
+
+    outputs = mc_shading.mc_forward(
+        params, cfg, grid, 2.0 / 127, aabb, jnp.asarray(pts),
+        jnp.asarray(view), jnp.asarray(normals),
+        mc_shading.ShadePhase(), jax.random.PRNGKey(1), False)
+
+    # analytic: diffuse_color_srgb = srgb(albedo * (1-metallic) * L), L=0.5
+    metallic, roughness, albedo = mc_shading.predict_materials(
+        params, cfg, jnp.asarray(pts), aabb)
+    want_lin = np.asarray(albedo) * (1 - np.asarray(metallic)) * 0.5
+    got_lin = np.asarray(srgb_to_linear(outputs['diffuse_color']))
+    np.testing.assert_allclose(got_lin, want_lin, rtol=0.08, atol=5e-3)
+
+    # no geometry -> full visibility, zero indirect light
+    np.testing.assert_allclose(np.asarray(outputs['visibility']), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outputs['indirect_light']), 0.0,
+                               atol=1e-6)
+
+
+def test_specular_estimator_white_furnace(setup):
+    """Constant light: specular MC estimate should be finite, positive and
+    bounded by the light level (energy conservation up to fresnel)."""
+    cfg, params, grid = setup
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    rng = np.random.RandomState(1)
+    n = 16
+    normals = np.tile([[0.0, 0, 1]], (n, 1)).astype(np.float32)
+    view = rng.randn(n, 3).astype(np.float32)
+    view[:, 2] = np.abs(view[:, 2]) + 0.5
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    pts = (0.1 * rng.randn(n, 3)).astype(np.float32)
+
+    outputs = mc_shading.mc_forward(
+        params, cfg, grid, 2.0 / 127, aabb, jnp.asarray(pts),
+        jnp.asarray(view), jnp.asarray(normals),
+        mc_shading.ShadePhase(), jax.random.PRNGKey(2), False)
+    spec = np.asarray(srgb_to_linear(outputs['specular_color']))
+    assert np.isfinite(spec).all()
+    assert (spec >= 0).all()
+    assert (spec <= 0.5 * 1.2).all()  # bounded by light * margin
