@@ -77,6 +77,89 @@ def load_ply_points(path: str) -> np.ndarray:
     return verts
 
 
+def _rot_x(a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+def _rot_y(a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def look_at_rotation_2d(center_px: np.ndarray, K: np.ndarray):
+    """Camera-space rotation steering the optical axis toward the pixel
+    ``center_px``, plus the focal that preserves apparent size there
+    (ref: base_utils.py:832-841 look_at_rotation +
+    pose_utils.py:47-53 let_me_look_at_2d)."""
+    f_raw = 0.5 * (K[0, 0] + K[1, 1])
+    c = center_px - K[:2, 2]
+    f_new = float(np.sqrt(c[0] ** 2 + c[1] ** 2 + f_raw ** 2))
+    x, y = c / f_raw
+    r_new = _rot_x(np.arctan2(y, 1.0)) @ _rot_y(-np.arctan2(x, 1.0))
+    return r_new, f_new
+
+
+def project_points(pts: np.ndarray, pose: np.ndarray, K: np.ndarray):
+    """Pinhole projection of [n,3] world points through a w2c [3,4] pose
+    (ref: base_utils.py:141-150)."""
+    cam = pts @ pose[:, :3].T + pose[:, 3]
+    cam = cam @ K.T
+    depth = np.where(np.abs(cam[:, 2]) < 1e-4,
+                     np.sign(cam[:, 2] + 1e-12) * 1e-4, cam[:, 2])
+    return cam[:, :2] / depth[:, None], depth
+
+
+def crop_to_object(img: np.ndarray, ref_points: np.ndarray,
+                   pose: np.ndarray, K: np.ndarray, size: int):
+    """Re-aim the camera at the object and warp to a square ``size`` crop.
+
+    Projects the (normalized) object point cloud, takes its bounding
+    square (kept inside the frame), rotates the camera so the crop center
+    is on-axis, scales focal so the object fills ``size`` px, and warps
+    by the induced homography H = K_new R_new K^-1. Returns
+    (img [size,size,3], K_new [3,3], pose_new [3,4])
+    (ref: database.py:71-100 crop_by_points +
+    pose_utils.py:308-322 look_at_crop).
+    """
+    import cv2
+    h, w = img.shape[:2]
+    pts2d, _ = project_points(ref_points, pose, K)
+    pts2d[:, 0] = np.clip(pts2d[:, 0], 0, w - 1)
+    pts2d[:, 1] = np.clip(pts2d[:, 1], 0, h - 1)
+    pt_min, pt_max = pts2d.min(0), pts2d.max(0)
+    region = min(float(np.max(pt_max - pt_min)), h - 3, w - 3)
+
+    def _center(lo, hi, extent):
+        if region <= hi - lo:
+            return 0.5 * (lo + hi)
+        b0 = max(region / 2, hi - region / 2)
+        b1 = min(lo + region / 2, extent - 2 - region / 2)
+        return 0.5 * (b0 + b1)
+
+    center = np.asarray([_center(pt_min[0], pt_max[0], w),
+                         _center(pt_min[1], pt_max[1], h)], np.float32)
+    scale = size / region
+
+    r_new, f_new = look_at_rotation_2d(center, K)
+    f_new *= scale
+    k_new = np.asarray([[f_new, 0, size / 2], [0, f_new, size / 2],
+                        [0, 0, 1]], np.float32)
+    hom = k_new @ r_new @ np.linalg.inv(K)
+    if scale < 1.0:
+        # gaussian pre-filter against minification aliasing
+        sigma = (1.0 / scale) / 3.0
+        ksize = int(np.ceil(((sigma - 0.8) / 0.3 + 1) * 2 + 1))
+        ksize += (ksize % 2 == 0)
+        img = cv2.GaussianBlur(img, (ksize, ksize), sigma,
+                               borderType=cv2.BORDER_REFLECT101)
+    img_new = cv2.warpPerspective(img.astype(np.float32), hom, (size, size),
+                                  flags=cv2.INTER_LINEAR)
+    pose_new = np.concatenate(
+        [r_new @ pose[:, :3], r_new @ pose[:, 3:]], 1).astype(np.float32)
+    return img_new, k_new, pose_new
+
+
 class ColmapDatabase(BaseDatabase):
     """Shared base for COLMAP-parsed captures (w2c [3,4] poses)."""
 
@@ -110,6 +193,54 @@ class ColmapDatabase(BaseDatabase):
     def get_img_ids(self):
         return self.img_ids
 
+    def _resize_dir(self, max_len: str):
+        """Cache a downscaled image dir images_raw_<len>/ and rescale Ks
+        (ref: database.py:121-136)."""
+        import cv2
+        first = os.path.join(self.root, 'images',
+                             self.image_names[self.img_ids[0]])
+        h, w = imread(first).shape[:2]
+        target = int(max_len.split('_')[1])
+        ratio = target / max(h, w)
+        th, tw = int(ratio * h), int(ratio * w)
+        self.image_dir = os.path.join(self.root, f'images_{max_len}')
+        os.makedirs(self.image_dir, exist_ok=True)
+        for img_id in self.img_ids:
+            dst = os.path.join(self.image_dir, self.image_names[img_id])
+            if not os.path.exists(dst):
+                img = imread(os.path.join(self.root, 'images',
+                                          self.image_names[img_id]))
+                cv2.imwrite(dst, cv2.resize(
+                    img[..., ::-1], (tw, th),
+                    interpolation=cv2.INTER_AREA))
+            self.Ks[img_id] = (np.diag([tw / w, th / h, 1.0])
+                               @ self.Ks[img_id]).astype(np.float32)
+
+    def _crop_dir(self, size: int):
+        """Cache an object-centered square-crop dir images_<size>/ with
+        rectified poses/Ks in meta_info.pkl (ref: database.py:209-228)."""
+        import cv2
+        self.image_dir = os.path.join(self.root, f'images_{size}')
+        meta = os.path.join(self.image_dir, 'meta_info.pkl')
+        if os.path.exists(meta):
+            with open(meta, 'rb') as f:
+                self.poses, self.Ks = pickle.load(f)
+            return
+        os.makedirs(self.image_dir, exist_ok=True)
+        for img_id in self.img_ids:
+            img = imread(os.path.join(self.root, 'images',
+                                      self.image_names[img_id]))
+            img1, k1, pose1 = crop_to_object(
+                img, self.ref_points, self.poses[img_id],
+                self.Ks[img_id], size)
+            cv2.imwrite(os.path.join(self.image_dir,
+                                     self.image_names[img_id]),
+                        np.clip(img1, 0, 255).astype(np.uint8)[..., ::-1])
+            self.poses[img_id] = pose1
+            self.Ks[img_id] = k1
+        with open(meta, 'wb') as f:
+            pickle.dump((self.poses, self.Ks), f)
+
 
 class GlossyRealDatabase(ColmapDatabase):
     """(ref: database.py:102-247) 'real/<object>/raw_<len>'"""
@@ -125,31 +256,16 @@ class GlossyRealDatabase(ColmapDatabase):
         self.poses, self.scale_rect, self.offset_rect, self.R_rect = \
             normalize_poses(self.poses, ref_points,
                             meta.get('up'), meta.get('forward'))
-        # resized image directory (ref: database.py:121-136)
+        # object point cloud in the normalized frame (ref: database.py:191)
+        self.ref_points = ((self.scale_rect
+                            * (ref_points + self.offset_rect))
+                           @ self.R_rect.T).astype(np.float32)
+        # 'raw_<len>' -> downscaled full frames; '<len>' -> object-centred
+        # square crops with rectified poses (ref: database.py:117-136)
         if self.max_len.startswith('raw'):
-            first = os.path.join(self.root, 'images',
-                                 self.image_names[self.img_ids[0]])
-            h, w = imread(first).shape[:2]
-            target = int(self.max_len.split('_')[1])
-            ratio = target / max(h, w)
-            th, tw = int(ratio * h), int(ratio * w)
-            self.image_dir = os.path.join(self.root,
-                                          f'images_{self.max_len}')
-            os.makedirs(self.image_dir, exist_ok=True)
-            import cv2
-            for img_id in self.img_ids:
-                dst = os.path.join(self.image_dir,
-                                   self.image_names[img_id])
-                if not os.path.exists(dst):
-                    img = imread(os.path.join(self.root, 'images',
-                                              self.image_names[img_id]))
-                    cv2.imwrite(dst, cv2.resize(
-                        img[..., ::-1], (tw, th),
-                        interpolation=cv2.INTER_AREA))
-                self.Ks[img_id] = (np.diag([tw / w, th / h, 1.0])
-                                   @ self.Ks[img_id]).astype(np.float32)
+            self._resize_dir(self.max_len)
         else:
-            self.image_dir = os.path.join(self.root, 'images')
+            self._crop_dir(int(self.max_len))
 
     def get_image(self, img_id):
         return imread(os.path.join(self.image_dir,
@@ -211,11 +327,20 @@ class CustomDatabase(ColmapDatabase):
         self.root = os.path.join(dataset_dir, self.object_name)
         self._parse_colmap(os.path.join(self.root, 'colmap', 'sparse', '0'))
         pc = os.path.join(self.root, 'object_point_cloud.ply')
-        if os.path.exists(pc):
-            ref_points = load_ply_points(pc)
-            self.poses, _, _, _ = normalize_poses(self.poses, ref_points)
         self.image_dir = os.path.join(self.root, 'images')
         self.mask_dir = os.path.join(self.root, 'masks')
+        if os.path.exists(pc):
+            ref_points = load_ply_points(pc)
+            self.poses, scale, offset, r_rect = normalize_poses(
+                self.poses, ref_points)
+            self.ref_points = ((scale * (ref_points + offset))
+                               @ r_rect.T).astype(np.float32)
+            # same raw/crop dispatch as GlossyReal (ref: database.py:589-592)
+            if self.max_len.startswith('raw'):
+                if '_' in self.max_len:
+                    self._resize_dir(self.max_len)
+            else:
+                self._crop_dir(int(self.max_len))
 
     def get_image(self, img_id):
         return imread(os.path.join(self.image_dir,
