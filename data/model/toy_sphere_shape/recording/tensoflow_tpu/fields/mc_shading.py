@@ -1,0 +1,606 @@
+"""Stage-2 Monte-Carlo PBR shader with neural importance sampling.
+
+Functional re-design of the reference MCShadingNetwork
+(ref: network/fields.py:618-1595): per surface point, estimate the
+rendering integral with cosine-hemisphere diffuse samples + GGX specular
+samples, optionally mixed with samples drawn from frozen copies of the
+conditional normalizing flows; secondary-ray radiance = sphere-traced
+visibility (baked SDF grid) selecting between an inner-light MLP (hit) and
+the trainable environment cubemap (miss).
+
+TPU-first differences from the CUDA original:
+  * dense ``[points, samples]`` layout with an NoL>0 mask replaces the
+    torch_scatter segment_coo compaction (ref: fields.py:1209-1234) — the
+    masked estimator is numerically identical
+  * visibility via ops/sdf_trace sphere tracing instead of the mesh BVH
+  * frozen flow copies are explicit parameter pytrees passed in, refreshed
+    by the trainer on the reference's schedule (fields.py:1050-1065)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sdf_trace, tensor_field as tfield
+from ..ops.brdf import (distribution_ggx, fresnel_schlick_directions,
+                        geometry as brdf_geometry)
+from ..ops.math import (contraction, linear_to_srgb, safe_normalize,
+                        saturate_dot, positional_encoding, pe_dim,
+                        integrated_dir_encoding, ide_dim)
+from ..ops.samplers import (direction_samples_01, direction_to_angle,
+                            half_angles_to_directions,
+                            sample_diffuse_directions,
+                            sample_specular_directions)
+from . import flow as flow_mod
+from . import light as light_mod
+from . import mlp
+
+EPS = 1e-6
+
+
+class MCShadingConfig(NamedTuple):
+    """(ref: fields.py:619-667 default_cfg)"""
+    diffuse_sample_num: int = 512
+    specular_sample_num: int = 256
+    light_exp_max: float = 5.0
+    inner_light_exp_max: float = 5.0
+    outer_light_version: str = 'envlight'   # 'direction'|'sphere_direction'
+    geometry_type: str = 'schlick'
+    shade_fn: str = 'shade_mixed'           # 'shade_mixed'|'shade_mixed_all'
+    reg_min_max: bool = True
+    random_azimuth: bool = True
+    human_lights: bool = False
+
+    # NIS
+    use_nis_all: bool = False
+    use_nis_diffuse: bool = True
+    use_nis_specular: bool = True
+    grid_size: Tuple[int, int, int] = (512, 512, 512)
+    nis_sample_num: int = 64
+    nis_diffuse_sample_num: int = 64
+    nis_specular_sample_num: int = 32
+    nis_start_iter: int = 1000
+    nis_loss_iter: int = 500
+    nis_update_interval: int = 1000
+    use_half_diffuse: bool = True
+    use_half_specular: bool = True
+    use_half_all: bool = True
+    light_reso: int = 128
+    flow_type: str = 'pwquad'     # 'pwquad' | 'pwlinear' | 'realnvp'
+    disable_tensorial: bool = False
+    disable_reflected: bool = False
+    # fraction of secondary rays budgeted for the (expensive) inner-light
+    # MLP; hits are compacted to this budget, overflow falls back to the
+    # outer light (0 = dense, no compaction). Typical hit rates are well
+    # under 0.5 for outward hemispheres.
+    inner_light_budget: float = 0.5
+
+    # material field
+    mat_n_comp: int = 36
+    mat_n_levels: int = 3
+
+    @property
+    def mat_feature_dim(self) -> int:
+        return self.mat_n_comp * 3
+
+    @property
+    def flow(self) -> flow_mod.FlowConfig:
+        return flow_mod.FlowConfig(
+            grid_size=self.grid_size,
+            flow_type=self.flow_type,
+            disable_tensorial=self.disable_tensorial,
+            disable_reflected=self.disable_reflected)
+
+
+def init_mc_shading(rng, cfg: MCShadingConfig) -> Dict[str, Any]:
+    """(ref: fields.py:668-760)"""
+    ks = jax.random.split(rng, 10)
+    pos_dim = pe_dim(3, 8)
+    sph_dim = ide_dim(5)
+
+    params: Dict[str, Any] = {
+        'mat_field': tfield.init_vm_random(ks[0], cfg.grid_size,
+                                           cfg.mat_n_comp),
+        'metallic': mlp.init_predictor(ks[1], cfg.mat_feature_dim, 1, 2),
+        'roughness': mlp.init_predictor(ks[2], cfg.mat_feature_dim, 1, 2),
+        'albedo': mlp.init_predictor(ks[3], cfg.mat_feature_dim, 3, 2),
+        'feats_network': mlp.init_material_feats(ks[4], pe_dim(3, 8)),
+        'inner_light': mlp.init_predictor(
+            ks[5], pos_dim + sph_dim, 3, 4,
+            final_bias=float(np.log(0.5))),
+    }
+    if cfg.outer_light_version == 'envlight':
+        params['outer_light'] = light_mod.init_env_light(
+            light_mod.EnvLightConfig(max_res=cfg.light_reso))
+    elif cfg.outer_light_version == 'direction':
+        params['outer_light'] = mlp.init_predictor(
+            ks[6], sph_dim, 3, 4, final_bias=float(np.log(0.5)))
+    elif cfg.outer_light_version == 'sphere_direction':
+        params['outer_light'] = mlp.init_predictor(
+            ks[6], sph_dim * 2, 3, 4, final_bias=float(np.log(0.5)))
+    else:
+        raise NotImplementedError(cfg.outer_light_version)
+    if cfg.human_lights:
+        params['human_light'] = mlp.init_predictor(
+            ks[7], 2 * 2 * 6, 4, 4, final_bias=float(np.log(0.02)))
+
+    if cfg.use_nis_all:
+        params['flow_all'] = flow_mod.init_tenso_flow(ks[8], cfg.flow)
+    if cfg.use_nis_diffuse:
+        params['flow_diffuse'] = flow_mod.init_tenso_flow(ks[8], cfg.flow)
+    if cfg.use_nis_specular:
+        params['flow_specular'] = flow_mod.init_tenso_flow(ks[9], cfg.flow)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# materials (ref: fields.py:776-810, 1010-1017)
+# ---------------------------------------------------------------------------
+
+def tenso_feature(params, cfg: MCShadingConfig, pts, aabb):
+    xyz01 = contraction(pts, aabb)
+    return tfield.vm_features(params['mat_field'], xyz01, None,
+                              cfg.mat_n_levels)
+
+
+def predict_materials(params, cfg: MCShadingConfig, pts, aabb):
+    feats = tenso_feature(params, cfg, pts, aabb)
+    metallic = mlp.apply_predictor(params['metallic'], feats, 'sigmoid')
+    roughness = mlp.apply_predictor(params['roughness'], feats, 'sigmoid')
+    rmax, rmin = 1.0, 0.04 ** 2
+    roughness = roughness * (rmax - rmin) + rmin
+    albedo = mlp.apply_predictor(params['albedo'], feats, 'sigmoid')
+    return metallic, roughness, albedo
+
+
+# ---------------------------------------------------------------------------
+# lights (ref: fields.py:905-975)
+# ---------------------------------------------------------------------------
+
+def get_inner_lights(params, cfg: MCShadingConfig, points, view_out_dirs,
+                     normals):
+    """(ref: fields.py:905-911) view_out_dirs points AWAY from surface."""
+    pos_enc = positional_encoding(points, 8)
+    normals = safe_normalize(normals)
+    v = safe_normalize(view_out_dirs)
+    refl = jnp.sum(v * normals, -1, keepdims=True) * normals * 2 - v
+    dir_enc = integrated_dir_encoding(refl, 0.0, 5)
+    return mlp.apply_predictor(
+        params['inner_light'], jnp.concatenate([pos_enc, dir_enc], -1),
+        'exp', cfg.inner_light_exp_max)
+
+
+def predict_outer_lights(params, cfg: MCShadingConfig, points, directions):
+    """(ref: fields.py:913-933)"""
+    if cfg.outer_light_version == 'envlight':
+        return light_mod.direct_light(params['outer_light'], directions)
+    if cfg.outer_light_version == 'direction':
+        enc = integrated_dir_encoding(directions, 0.0, 5)
+        return mlp.apply_predictor(params['outer_light'], enc, 'exp',
+                                   cfg.light_exp_max)
+    if cfg.outer_light_version == 'sphere_direction':
+        from ..ops.math import get_sphere_intersection
+        enc = integrated_dir_encoding(directions, 0.0, 5)
+        pts = points * jnp.minimum(
+            1.0, 0.999 / jnp.maximum(
+                jnp.linalg.norm(points, axis=-1, keepdims=True), 1e-8))
+        dists = get_sphere_intersection(pts, directions)
+        sphere_pts = pts + directions * dists
+        enc2 = integrated_dir_encoding(sphere_pts, 0.0, 5)
+        return mlp.apply_predictor(
+            params['outer_light'], jnp.concatenate([enc, enc2], -1), 'exp',
+            cfg.light_exp_max)
+    raise NotImplementedError(cfg.outer_light_version)
+
+
+def get_human_light(params, points, directions, human_poses):
+    """Photographer reflection estimate on the camera plane
+    (ref: fields.py:935-949). All [N,...]-flat."""
+    from ..ops.math import (get_camera_plane_intersection,
+                            integrated_positional_encoding)
+    inter, dists, hits = get_camera_plane_intersection(
+        points, directions, human_poses)
+    scale = 0.3
+    mean = inter[..., :2] * scale
+    hits = hits & (jnp.linalg.norm(mean, axis=-1) < 1.5) & (dists > 0)
+    hits_f = hits.astype(points.dtype)[:, None]
+    mean = mean * hits_f
+    var = jnp.zeros_like(mean)
+    enc = integrated_positional_encoding(mean, var, 0, 6)
+    hl = mlp.apply_predictor(params['human_light'], enc, 'exp', 5.0) * hits_f
+    return hl[..., :3], jnp.clip(hl[..., 3:], 0.0, 1.0)
+
+
+def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
+               unit_size, points, directions, human_poses=None):
+    """Secondary-ray radiance for a dense [pn, sn, 3] direction set
+    (ref: fields.py:951-975).
+
+    Returns (lights [pn,sn,3], hit_mask [pn,sn]).
+    """
+    shape = points.shape[:-1]
+    eps = 1e-5
+    o = (points + directions * eps).reshape(-1, 3)
+    d = directions.reshape(-1, 3)
+    # trace origin offset (ref: materialRenderer.py:223 lambda)
+    inters, normals, depth, hit = sdf_trace.sphere_trace(
+        grid, o + 2.0 * unit_size * d, d)
+    # the reference's raytracer is a non-differentiable CUDA op (ref:
+    # raytracing bindings; materialRenderer.py:223) — match that: no
+    # gradient flows from the trace geometry back into the sampled
+    # directions (whose normalize/arccos chain NaNs at degenerate hits).
+    inters, normals, depth = jax.lax.stop_gradient((inters, normals, depth))
+
+    outer = predict_outer_lights(params, cfg, o, d)
+    if cfg.human_lights and human_poses is not None:
+        hp = jnp.broadcast_to(
+            human_poses[:, None], shape + human_poses.shape[1:]
+        ).reshape(-1, *human_poses.shape[1:])
+        hl, hw = get_human_light(params, o, d, hp)
+        outer = outer * (1.0 - hw) + hl * hw
+
+    n_rays = o.shape[0]
+    if 0.0 < cfg.inner_light_budget < 1.0:
+        # compact hit rays before the 4x256 inner-light MLP: misses only
+        # need the cubemap lookup above. Overflow beyond the budget falls
+        # back to the outer light.
+        from ..ops.grid import compact_indices, scatter_back
+        m = max(int(n_rays * cfg.inner_light_budget), 1)
+        src, slot_mask, dest = compact_indices(hit, m)
+        inner_m = get_inner_lights(
+            params, cfg,
+            jnp.take(inters, src, axis=0, mode='clip'),
+            -jnp.take(d, src, axis=0, mode='clip'),
+            jnp.take(normals, src, axis=0, mode='clip'))
+        inner = scatter_back(inner_m, dest)
+        mapped = dest < m
+        lights = jnp.where((hit & mapped)[:, None], inner, outer)
+    else:
+        inner = get_inner_lights(params, cfg, inters, -d, normals)
+        lights = jnp.where(hit[:, None], inner, outer)
+    near_mask = (depth > eps).astype(lights.dtype)
+    lights = lights * near_mask
+    return lights.reshape(*shape, 3), hit.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# the mixed-estimator shader (ref: fields.py:1075-1335)
+# ---------------------------------------------------------------------------
+
+class ShadePhase(NamedTuple):
+    """Static phase flags (host-derived from step; ref gates at
+    fields.py:1082,1160,1257,1295)."""
+    nis_sample_diffuse: bool = False
+    nis_sample_specular: bool = False
+    nis_loss_diffuse: bool = False
+    nis_loss_specular: bool = False
+
+
+def _flow_sample_halfvec(flow_params, fcfg, rng, pts, aabb, view_angles01,
+                         roughness, normals, view_dirs, sn, train):
+    """Draw sn half-vector samples from a (frozen) flow and convert to
+    outgoing directions + solid-angle pdf (ref: fields.py:1084-1113)."""
+    angles01, logq = flow_mod.flow_sample(
+        flow_params, fcfg, rng, pts, aabb, view_angles01, roughness, sn,
+        train=train)
+    angles_half = jnp.concatenate(
+        [angles01[..., :1] * (2 * np.pi), angles01[..., 1:2] * (0.5 * np.pi)],
+        -1)
+    dirs, angles, hov, theta = half_angles_to_directions(
+        angles_half, normals, view_dirs)
+    # note: sample() returns logj = -log q; ref exponentiates -logqx
+    prob = jnp.exp(-jnp.clip(logq, -8.0, 8.0)) / jnp.maximum(
+        4.0 * np.pi ** 2 * hov * jnp.sin(theta), EPS)
+    return dirs, angles, prob, angles_half, hov
+
+
+def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
+                pts, normals, view_dirs, metallic, roughness, albedo,
+                phase: ShadePhase, rng, is_train: bool,
+                flow_diffuse_copy=None, flow_specular_copy=None,
+                human_poses=None):
+    """The MC estimator (ref: fields.py:1075-1335). All dense/masked.
+
+    Returns (colors [pn,3], outputs dict).
+    """
+    pn = pts.shape[0]
+    k_d, k_s, k_da, k_sa = jax.random.split(rng, 4)
+    fcfg = cfg.flow
+
+    view_angles = direction_to_angle(normals, view_dirs[:, None, :])[:, 0]
+    view_angles01 = view_angles / jnp.asarray(
+        [2 * np.pi, 0.5 * np.pi], view_angles.dtype)
+
+    # ---------------- diffuse sampling ----------------
+    dtable = jnp.asarray(direction_samples_01(cfg.diffuse_sample_num))
+    az_rng = k_da if (is_train and cfg.random_azimuth) else None
+    d_dirs2, d_angles2, d_prob2, d_half2 = sample_diffuse_directions(
+        dtable, normals, view_dirs, az_rng)
+    if phase.nis_sample_diffuse:
+        sn = cfg.nis_diffuse_sample_num
+        d_dirs1, d_angles1, d_prob1, d_half1, d_hov1 = _flow_sample_halfvec(
+            flow_diffuse_copy, fcfg, k_d, pts, aabb, view_angles01,
+            roughness, normals, view_dirs, sn, is_train)
+        diffuse_dirs = jnp.concatenate([d_dirs1, d_dirs2], 1)
+        diffuse_prob = jnp.concatenate([d_prob1, d_prob2], 1)
+        diffuse_half = jnp.concatenate([d_half1, d_half2], 1)
+    else:
+        diffuse_dirs, diffuse_prob, diffuse_half = d_dirs2, d_prob2, d_half2
+
+    h_diff = safe_normalize(view_dirs[:, None, :] + diffuse_dirs)
+    hov_diff = saturate_dot(h_diff, view_dirs[:, None, :])
+
+    kd = 1.0 - metallic[:, None, :]
+    diffuse_lights, _ = get_lights(
+        params, cfg, grid, unit_size,
+        jnp.broadcast_to(pts[:, None, :], diffuse_dirs.shape), diffuse_dirs,
+        human_poses)
+    diffuse_weights = (albedo[:, None, :] * kd
+                       * (saturate_dot(diffuse_dirs, normals[:, None, :])
+                          / np.pi))
+    diffuse_colors = jnp.mean(
+        diffuse_weights * diffuse_lights
+        / jnp.maximum(diffuse_prob, EPS), 1)
+
+    # ---------------- specular sampling ----------------
+    stable = jnp.asarray(direction_samples_01(cfg.specular_sample_num))
+    az_rng_s = k_sa if (is_train and cfg.random_azimuth) else None
+    s_dirs2, s_angles2, s_prob2, s_half2 = sample_specular_directions(
+        stable, normals, view_dirs, roughness, az_rng_s)
+    if phase.nis_sample_specular:
+        sn = cfg.nis_specular_sample_num
+        s_dirs1, s_angles1, s_prob1, s_half1, s_hov1 = _flow_sample_halfvec(
+            flow_specular_copy, fcfg, k_s, pts, aabb, view_angles01,
+            roughness, normals, view_dirs, sn, is_train)
+        spec_dirs = jnp.concatenate([s_dirs1, s_dirs2], 1)
+        spec_prob = jnp.concatenate([s_prob1, s_prob2], 1)
+        spec_half = jnp.concatenate([s_half1, s_half2], 1)
+    else:
+        spec_dirs, spec_prob, spec_half = s_dirs2, s_prob2, s_half2
+    spec_num = spec_dirs.shape[1]
+
+    # dense NoL>0 mask replaces compaction (ref: fields.py:1209-1214)
+    spec_mask = (jnp.sum(spec_dirs * normals[:, None, :], -1) > 0)
+    spec_mask_f = spec_mask[..., None].astype(pts.dtype)
+
+    f0 = 0.04 * (1.0 - metallic) + metallic * albedo
+    fresnel, h_spec, hov_spec = fresnel_schlick_directions(
+        f0[:, None, :], view_dirs[:, None, :], spec_dirs)
+    nov = saturate_dot(normals, view_dirs)[:, None, :]
+    nol = saturate_dot(normals[:, None, :], spec_dirs)
+    geom = brdf_geometry(nov, nol, roughness[:, None, :], cfg.geometry_type)
+    noh = saturate_dot(normals[:, None, :], h_spec)
+    dist = distribution_ggx(noh, roughness[:, None, :])
+    spec_lights, light_hit = get_lights(
+        params, cfg, grid, unit_size,
+        jnp.broadcast_to(pts[:, None, :], spec_dirs.shape), spec_dirs,
+        human_poses)
+    spec_weights = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
+    specular_colors = jnp.sum(
+        spec_mask_f * spec_weights * spec_lights
+        / jnp.maximum(spec_prob, EPS), 1) / spec_num
+
+    colors = linear_to_srgb(diffuse_colors + specular_colors)
+
+    light_hit_f = (light_hit[..., None].astype(pts.dtype)) * spec_mask_f
+    visibility = 1.0 - jnp.sum(light_hit_f, 1) / spec_num
+    indirect_light = jnp.sum(spec_lights * light_hit_f, 1) / spec_num
+    specular_light = jnp.sum(spec_lights * spec_mask_f, 1) / spec_num
+
+    outputs: Dict[str, Any] = {
+        'albedo': albedo,
+        'normal': (normals + 1.0) / 2.0,
+        'roughness': roughness,
+        'metallic': metallic,
+        'diffuse_light': jnp.clip(
+            linear_to_srgb(jnp.mean(diffuse_lights, 1)), 0, 1),
+        'specular_light': jnp.clip(linear_to_srgb(specular_light), 0, 1),
+        'diffuse_color': jnp.clip(linear_to_srgb(diffuse_colors), 0, 1),
+        'specular_color': jnp.clip(linear_to_srgb(specular_colors), 0, 1),
+        'visibility': visibility,
+        'indirect_light': indirect_light,
+    }
+    # (ref: fields.py:1248 — note the reference adds the already-srgb'd
+    # specular color inside the srgb transform; replicated as-is)
+    outputs['approximate_light'] = jnp.clip(
+        linear_to_srgb(jnp.mean(kd * diffuse_lights, 1)
+                       + outputs['specular_color']), 0, 1)
+
+    # ---------------- NIS losses (ref: fields.py:1254-1333) ----------------
+    fx_d = diffuse_weights * diffuse_lights
+    outputs['variance'] = jnp.var(
+        jnp.mean(fx_d, -1, keepdims=True) / jnp.maximum(diffuse_prob, EPS))
+
+    if phase.nis_loss_diffuse and cfg.use_nis_diffuse:
+        sn = cfg.nis_diffuse_sample_num
+        phi = diffuse_half[:, :sn, 0:1]
+        theta = diffuse_half[:, :sn, 1:2]
+        x = jnp.clip(jnp.concatenate(
+            [phi / (2 * np.pi), theta / (0.5 * np.pi)], -1), EPS, 1 - EPS)
+        _, logqx_ = flow_mod.flow_log_density(
+            params['flow_diffuse'], fcfg, pts, aabb, view_angles01,
+            roughness, x)
+        logqx = logqx_ - jnp.log(jnp.maximum(
+            4 * np.pi ** 2 * hov_diff[:, :sn] * jnp.sin(theta), EPS))
+        fx = fx_d[:, :sn]
+        dp = jnp.maximum(diffuse_prob[:, :sn], EPS)
+        outputs['loss_nis_diffuse'] = -jnp.mean(fx * logqx / dp)
+    else:
+        outputs['loss_nis_diffuse'] = jnp.zeros(())
+
+    fx_s = spec_weights * spec_lights
+    outputs['variance_specular'] = jnp.var(
+        jnp.mean(fx_s, -1, keepdims=True) / jnp.maximum(spec_prob, EPS))
+
+    if phase.nis_loss_specular and cfg.use_nis_specular:
+        phi = spec_half[..., 0:1]
+        theta = spec_half[..., 1:2]
+        x = jnp.clip(jnp.concatenate(
+            [phi / (2 * np.pi), theta / (0.5 * np.pi)], -1), EPS, 1 - EPS)
+        _, logqx_ = flow_mod.flow_log_density(
+            params['flow_specular'], fcfg, pts, aabb, view_angles01,
+            roughness, x)
+        logqx = logqx_ - jnp.log(jnp.maximum(
+            4 * np.pi ** 2 * hov_spec * jnp.sin(theta), EPS))
+        sp = jnp.maximum(spec_prob, EPS)
+        term = fx_s * logqx / sp * spec_mask_f
+        denom = jnp.maximum(jnp.sum(spec_mask_f) * 3.0, 1.0)
+        outputs['loss_nis_specular'] = -jnp.sum(term) / denom
+    else:
+        outputs['loss_nis_specular'] = jnp.zeros(())
+
+    outputs['loss_nis'] = (outputs['loss_nis_diffuse']
+                           + outputs['loss_nis_specular'])
+    return colors, outputs
+
+
+def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
+                    pts, normals, view_dirs, metallic, roughness, albedo,
+                    phase: ShadePhase, rng, is_train: bool,
+                    flow_all_copy=None, human_poses=None):
+    """Single-flow combined estimator (ref: fields.py:1337-1451): ONE
+    direction set drives both the diffuse and specular lobes, optionally
+    sampled from the combined flow copy."""
+    pn = pts.shape[0]
+    k_f, k_a = jax.random.split(rng)
+    fcfg = cfg.flow
+
+    view_angles = direction_to_angle(normals, view_dirs[:, None, :])[:, 0]
+    view_angles01 = view_angles / jnp.asarray(
+        [2 * np.pi, 0.5 * np.pi], view_angles.dtype)
+
+    dtable = jnp.asarray(direction_samples_01(cfg.diffuse_sample_num))
+    az_rng = k_a if (is_train and cfg.random_azimuth) else None
+    if phase.nis_sample_diffuse and flow_all_copy is not None:
+        dirs1, _, prob1, half1, _ = _flow_sample_halfvec(
+            flow_all_copy, fcfg, k_f, pts, aabb, view_angles01, roughness,
+            normals, view_dirs, cfg.nis_sample_num, is_train)
+        dirs2, _, prob2, half2 = sample_diffuse_directions(
+            dtable, normals, view_dirs, az_rng)
+        directions = jnp.concatenate([dirs1, dirs2], 1)
+        prob = jnp.concatenate([prob1, prob2], 1)
+        angles_half = jnp.concatenate([half1, half2], 1)
+    else:
+        directions, _, prob, angles_half = sample_diffuse_directions(
+            dtable, normals, view_dirs, az_rng)
+    sn = directions.shape[1]
+
+    lights, light_hit = get_lights(
+        params, cfg, grid, unit_size,
+        jnp.broadcast_to(pts[:, None, :], directions.shape), directions,
+        human_poses)
+
+    kd = 1.0 - metallic[:, None, :]
+    diffuse_w = (albedo[:, None, :] * kd
+                 * (saturate_dot(directions, normals[:, None, :]) / np.pi))
+    diffuse_colors = jnp.mean(diffuse_w * lights / jnp.maximum(prob, EPS), 1)
+
+    f0 = 0.04 * (1.0 - metallic) + metallic * albedo
+    fresnel, h, hov = fresnel_schlick_directions(
+        f0[:, None, :], view_dirs[:, None, :], directions)
+    nov = saturate_dot(normals, view_dirs)[:, None, :]
+    nol = saturate_dot(normals[:, None, :], directions)
+    geom = brdf_geometry(nov, nol, roughness[:, None, :], cfg.geometry_type)
+    noh = saturate_dot(normals[:, None, :], h)
+    dist = distribution_ggx(noh, roughness[:, None, :])
+    spec_w = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
+    specular_colors = jnp.mean(spec_w * lights / jnp.maximum(prob, EPS), 1)
+
+    colors = linear_to_srgb(diffuse_colors + specular_colors)
+    light_hit_f = light_hit[..., None].astype(pts.dtype)
+    outputs: Dict[str, Any] = {
+        'albedo': albedo,
+        'normal': (normals + 1.0) / 2.0,
+        'roughness': roughness,
+        'metallic': metallic,
+        'diffuse_light': jnp.clip(linear_to_srgb(jnp.mean(lights, 1)), 0, 1),
+        'specular_light': jnp.clip(linear_to_srgb(jnp.mean(lights, 1)), 0, 1),
+        'diffuse_color': jnp.clip(linear_to_srgb(diffuse_colors), 0, 1),
+        'specular_color': jnp.clip(linear_to_srgb(specular_colors), 0, 1),
+        'visibility': 1.0 - jnp.mean(light_hit_f, 1),
+        'indirect_light': jnp.mean(lights * light_hit_f, 1),
+    }
+    outputs['approximate_light'] = jnp.clip(
+        linear_to_srgb(jnp.mean(kd * lights, 1)
+                       + outputs['specular_color']), 0, 1)
+
+    fx = (diffuse_w + spec_w) * lights
+    outputs['variance'] = jnp.var(
+        jnp.mean(fx, -1, keepdims=True) / jnp.maximum(prob, EPS))
+    if (phase.nis_loss_diffuse or phase.nis_loss_specular) \
+            and cfg.use_nis_all:
+        phi = angles_half[..., 0:1]
+        theta = angles_half[..., 1:2]
+        x = jnp.clip(jnp.concatenate(
+            [phi / (2 * np.pi), theta / (0.5 * np.pi)], -1), EPS, 1 - EPS)
+        _, logqx_ = flow_mod.flow_log_density(
+            params['flow_all'], fcfg, pts, aabb, view_angles01, roughness,
+            x)
+        h_all = safe_normalize(view_dirs[:, None, :] + directions)
+        hov_all = saturate_dot(h_all, view_dirs[:, None, :])
+        logqx = logqx_ - jnp.log(jnp.maximum(
+            4 * np.pi ** 2 * hov_all * jnp.sin(theta), EPS))
+        outputs['loss_nis'] = -jnp.mean(
+            fx * logqx / jnp.maximum(prob, EPS))
+    else:
+        outputs['loss_nis'] = jnp.zeros(())
+    return colors, outputs
+
+
+def mc_forward(params, cfg: MCShadingConfig, grid, unit_size, aabb, pts,
+               view_dirs, normals, phase: ShadePhase, rng, is_train: bool,
+               flow_diffuse_copy=None, flow_specular_copy=None,
+               human_poses=None):
+    """Full shade: materials + mixed estimator (ref: fields.py:1453-1473)."""
+    view_dirs = safe_normalize(view_dirs)
+    normals = safe_normalize(normals)
+    metallic, roughness, albedo = predict_materials(params, cfg, pts, aabb)
+    if cfg.shade_fn == 'shade_mixed_all':
+        colors, outputs = shade_mixed_all(
+            params, cfg, grid, unit_size, aabb, pts, normals, view_dirs,
+            metallic, roughness, albedo, phase, rng, is_train,
+            flow_all_copy=flow_diffuse_copy, human_poses=human_poses)
+    else:
+        colors, outputs = shade_mixed(
+            params, cfg, grid, unit_size, aabb, pts, normals, view_dirs,
+            metallic, roughness, albedo, phase, rng, is_train,
+            flow_diffuse_copy, flow_specular_copy, human_poses)
+    outputs['rgb_pr'] = colors
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# regularization & env export (ref: fields.py:1475-1578)
+# ---------------------------------------------------------------------------
+
+def material_regularization(params, cfg: MCShadingConfig, pts, normals,
+                            metallic, roughness, albedo, reg_minmax_on):
+    """(ref: fields.py:1547-1578): TV on the material field (+ early
+    saturation clamps gated by step<2000, passed as traced 0/1)."""
+    reg = tfield.tv_loss_vm(params['mat_field']) * 0.1
+    if cfg.reg_min_max:
+        clamp = (jnp.sum(jnp.maximum(roughness - 0.9 ** 2, 0))
+                 + jnp.sum(jnp.maximum(0.1 ** 2 - roughness, 0))
+                 + jnp.sum(jnp.maximum(metallic - 0.98, 0))
+                 + jnp.sum(jnp.maximum(0.02 - metallic, 0)))
+        reg = reg + clamp * reg_minmax_on
+    return reg
+
+
+def env_light_image(params, cfg: MCShadingConfig, h: int, w: int,
+                    gamma: bool = True):
+    """Rendered latlong environment map (ref: fields.py:1475-1510)."""
+    azs = jnp.linspace(1.0, 0.0, w) * np.pi * 2 - np.pi / 2
+    els = jnp.linspace(1.0, -1.0, h) * np.pi / 2
+    els, azs = jnp.meshgrid(els, azs, indexing='ij')
+    x = jnp.cos(els) * jnp.cos(azs)
+    y = jnp.cos(els) * jnp.sin(azs)
+    z = jnp.sin(els)
+    dirs = jnp.stack([x, y, z], -1).reshape(-1, 3)
+    light = predict_outer_lights(params, cfg, dirs, dirs)
+    if gamma:
+        light = linear_to_srgb(light)
+    return light.reshape(h, w, 3)

@@ -1,0 +1,338 @@
+"""VM-decomposed tensor fields: the framework's central data structure.
+
+A field is 3 planes ``[R, R, C]`` + 3 lines ``[R, C]`` (TensoRF VM
+decomposition, matMode [[0,1],[0,2],[1,2]], vecMode [2,1,0] — ref:
+network/fields.py:28-29).  Features at a 3D point are the elementwise
+product of mip-aware bilinearly-interpolated plane and line coefficients,
+concatenated over the three plane/line pairs.
+
+This module replaces the CUDA ``dr.texture`` path of the reference
+(ref: fields.py:262-299, 776-810; flow.py:709-744) with:
+  * a differentiable avg-pool mip pyramid rebuilt per step (cheap; the base
+    is at most 512^2 x 36 floats per plane)
+  * per-sample fractional mip level -> blend of per-level bilinear gathers
+    (exactly dr.texture 'linear-mipmap-linear' with boundary clamp)
+  * coordinates are stop-gradient'ed, matching the reference's
+    ``.detach()`` on sample coords (fields.py:268-270): field gradients
+    w.r.t. position come from finite differences, not the interpolant.
+
+Texel convention matches nvdiffrast: uv in [0,1], texel centers at
+(i + 0.5)/size, bilinear with clamped indices.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAT_MODE = ((0, 1), (0, 2), (1, 2))
+VEC_MODE = (2, 1, 0)
+
+FieldParams = Dict[str, Any]  # {'planes': [3 x (H,W,C)], 'lines': [3 x (L,C)]}
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def circle_init_plane(grid_hw: Sequence[int], radius: float) -> np.ndarray:
+    """2D circle SDF used to initialise the SDF planes (ref: fields.py:125-131).
+
+    Returns [H, W, 1]."""
+    x = np.linspace(-1, 1, grid_hw[0])
+    y = np.linspace(-1, 1, grid_hw[1])
+    xx, yy = np.meshgrid(x, y, indexing='ij')
+    return (np.sqrt(xx ** 2 + yy ** 2) - radius)[..., None].astype(np.float32)
+
+
+def init_vm_circle(grid_size: Sequence[int], n_comp: int,
+                   radius: float = 0.2) -> FieldParams:
+    """Circle-SDF init of a VM field (ref: fields.py:101-111)."""
+    planes, lines = [], []
+    for i in range(3):
+        hw = [grid_size[MAT_MODE[i][0]], grid_size[MAT_MODE[i][1]]]
+        ln = grid_size[VEC_MODE[i]]
+        plane = np.broadcast_to(circle_init_plane(hw, radius),
+                                (hw[0], hw[1], n_comp)).copy()
+        line = np.full((ln, n_comp), 1.0 / (n_comp * 3), np.float32)
+        planes.append(jnp.asarray(plane))
+        lines.append(jnp.asarray(line))
+    return {'planes': planes, 'lines': lines}
+
+
+def init_vm_random(rng, grid_size: Sequence[int], n_comp: int,
+                   scale: float = 1e-4) -> FieldParams:
+    """Small-random init used by material/flow fields (ref: fields.py:765-774)."""
+    planes, lines = [], []
+    for i in range(3):
+        rng, k = jax.random.split(rng)
+        hw = (grid_size[MAT_MODE[i][0]], grid_size[MAT_MODE[i][1]])
+        ln = grid_size[VEC_MODE[i]]
+        planes.append(scale * (2.0 * jax.random.uniform(k, hw + (n_comp,)) - 1.0))
+        lines.append(jnp.full((ln, n_comp), 1.0 / (n_comp * 3), jnp.float32))
+    return {'planes': planes, 'lines': lines}
+
+
+# ---------------------------------------------------------------------------
+# mip pyramids
+# ---------------------------------------------------------------------------
+
+def _avg_pool_2x2(tex):
+    """[H, W, C] -> [H//2, W//2, C] box filter."""
+    h, w, c = tex.shape
+    return tex.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
+
+
+def _avg_pool_2x1d(tex):
+    """[L, C] -> [L//2, C] box filter."""
+    l, c = tex.shape
+    return tex.reshape(l // 2, 2, c).mean(axis=1)
+
+
+def build_pyramid_2d(tex, n_levels: int) -> List[jnp.ndarray]:
+    pyr = [tex]
+    for _ in range(n_levels - 1):
+        pyr.append(_avg_pool_2x2(pyr[-1]))
+    return pyr
+
+
+def build_pyramid_1d(tex, n_levels: int) -> List[jnp.ndarray]:
+    pyr = [tex]
+    for _ in range(n_levels - 1):
+        pyr.append(_avg_pool_2x1d(pyr[-1]))
+    return pyr
+
+
+# ---------------------------------------------------------------------------
+# bilinear / mip sampling
+# ---------------------------------------------------------------------------
+
+def sample_bilinear_2d(tex, uv):
+    """Clamped bilinear lookup. tex [H,W,C]; uv [N,2] in [0,1] (u indexes H).
+
+    nvdiffrast texel convention: continuous coord = uv*size - 0.5.
+    """
+    h, w, _ = tex.shape
+    u = uv[:, 0] * h - 0.5
+    v = uv[:, 1] * w - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[:, None]
+    fv = (v - v0)[:, None]
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, h - 1)
+    u1i = jnp.clip(u0.astype(jnp.int32) + 1, 0, h - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, w - 1)
+    v1i = jnp.clip(v0.astype(jnp.int32) + 1, 0, w - 1)
+
+    flat = tex.reshape(h * w, -1)
+    t00 = jnp.take(flat, u0i * w + v0i, axis=0, mode='clip')
+    t01 = jnp.take(flat, u0i * w + v1i, axis=0, mode='clip')
+    t10 = jnp.take(flat, u1i * w + v0i, axis=0, mode='clip')
+    t11 = jnp.take(flat, u1i * w + v1i, axis=0, mode='clip')
+    out = ((1 - fu) * ((1 - fv) * t00 + fv * t01)
+           + fu * ((1 - fv) * t10 + fv * t11))
+    return out.astype(jnp.float32)
+
+
+def sample_linear_1d(tex, u):
+    """Clamped linear lookup. tex [L,C]; u [N] in [0,1]."""
+    l, _ = tex.shape
+    x = u * l - 0.5
+    x0 = jnp.floor(x)
+    f = (x - x0)[:, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, l - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, l - 1)
+    out = ((1 - f) * jnp.take(tex, x0i, axis=0, mode='clip')
+           + f * jnp.take(tex, x1i, axis=0, mode='clip'))
+    return out.astype(jnp.float32)
+
+
+def _mip_weights(level, n_levels: int):
+    """Per-level trilinear blending weights for a fractional mip level.
+
+    level [N] (clamped to [0, n_levels-1]); returns [n_levels, N]."""
+    lv = jnp.clip(level, 0.0, n_levels - 1)
+    ls = jnp.arange(n_levels, dtype=lv.dtype)[:, None]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(lv[None, :] - ls))
+
+
+def sample_mip_2d(pyramid: Sequence[jnp.ndarray], uv, level):
+    """dr.texture(..., mip_level_bias=level, boundary='clamp') equivalent.
+
+    pyramid: list of [H/2^l, W/2^l, C]; uv [N,2]; level [N]. -> [N, C]
+    """
+    ws = _mip_weights(level, len(pyramid))
+    out = 0.0
+    for l, tex in enumerate(pyramid):
+        out = out + ws[l][:, None] * sample_bilinear_2d(tex, uv)
+    return out
+
+
+def sample_mip_1d(pyramid: Sequence[jnp.ndarray], u, level):
+    ws = _mip_weights(level, len(pyramid))
+    out = 0.0
+    for l, tex in enumerate(pyramid):
+        out = out + ws[l][:, None] * sample_linear_1d(tex, u)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the VM field feature op
+# ---------------------------------------------------------------------------
+
+def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1,
+                gather_dtype=None):
+    """Features of a VM field at contracted coords.
+
+    field:  {'planes': [3x (H,W,C)], 'lines': [3x (L,C)]}
+    xyz01:  [N, 3] in [0,1] (already contracted into the aabb)
+    level:  [N] fractional mip level or None (level 0)
+    gather_dtype: optional storage dtype (e.g. jnp.bfloat16) — the texture
+    is cast once per call and gathered at half bandwidth; interpolation
+    weights and outputs stay float32.
+    Returns [N, 3*C] (plane_i ⊙ line_i concatenated over i), matching the
+    reference's feature ordering (ref: fields.py:272-298: concat over planes
+    of per-component products).
+    """
+    xyz01 = jax.lax.stop_gradient(xyz01)
+    n = xyz01.shape[0]
+    if level is None:
+        level = jnp.zeros((n,), xyz01.dtype)
+    else:
+        level = jax.lax.stop_gradient(jnp.reshape(level, (n,)))
+
+    if gather_dtype is not None:
+        field = {'planes': [p.astype(gather_dtype)
+                            for p in field['planes']],
+                 'lines': [l.astype(gather_dtype)
+                           for l in field['lines']]}
+
+    # column slices (NOT advanced indexing — that lowers to a gather with
+    # relayout copies on TPU)
+    cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
+    feats = []
+    for i in range(3):
+        uv = jnp.stack([cols[MAT_MODE[i][0]], cols[MAT_MODE[i][1]]], axis=1)
+        w = cols[VEC_MODE[i]]
+        if n_levels > 1:
+            p_pyr = build_pyramid_2d(field['planes'][i], n_levels)
+            l_pyr = build_pyramid_1d(field['lines'][i], n_levels)
+            pf = sample_mip_2d(p_pyr, uv, level)
+            lf = sample_mip_1d(l_pyr, w, level)
+        else:
+            pf = sample_bilinear_2d(field['planes'][i], uv)
+            lf = sample_linear_1d(field['lines'][i], w)
+        feats.append(pf * lf)
+    return jnp.concatenate(feats, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# grid maintenance: upsample / shrink / regularizers
+# ---------------------------------------------------------------------------
+
+def _interp_bilinear_resize(tex, out_hw):
+    """align_corners=True bilinear resize of [H,W,C] (ref: fields.py:154-166)."""
+    h, w, c = tex.shape
+    oh, ow = out_hw
+    ui = jnp.linspace(0.0, h - 1.0, oh)
+    vi = jnp.linspace(0.0, w - 1.0, ow)
+    u0 = jnp.floor(ui).astype(jnp.int32)
+    v0 = jnp.floor(vi).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, h - 1)
+    v1 = jnp.minimum(v0 + 1, w - 1)
+    fu = (ui - u0)[:, None, None]
+    fv = (vi - v0)[None, :, None]
+    t00 = tex[u0][:, v0]
+    t01 = tex[u0][:, v1]
+    t10 = tex[u1][:, v0]
+    t11 = tex[u1][:, v1]
+    return ((1 - fu) * ((1 - fv) * t00 + fv * t01)
+            + fu * ((1 - fv) * t10 + fv * t11))
+
+
+def _interp_linear_resize(line, out_l):
+    l, c = line.shape
+    xi = jnp.linspace(0.0, l - 1.0, out_l)
+    x0 = jnp.floor(xi).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, l - 1)
+    f = (xi - x0)[:, None]
+    return (1 - f) * line[x0] + f * line[x1]
+
+
+def upsample_vm(field: FieldParams, res_target: Sequence[int]) -> FieldParams:
+    """Coarse-to-fine grid upsampling (ref: fields.py:154-178)."""
+    planes, lines = [], []
+    for i in range(3):
+        hw = (int(res_target[MAT_MODE[i][0]]), int(res_target[MAT_MODE[i][1]]))
+        planes.append(_interp_bilinear_resize(field['planes'][i], hw))
+        lines.append(_interp_linear_resize(field['lines'][i],
+                                           int(res_target[VEC_MODE[i]])))
+    return {'planes': planes, 'lines': lines}
+
+
+def shrink_vm(field: FieldParams, grid_size, aabb, new_aabb) -> FieldParams:
+    """Crop the VM grids to a tightened aabb (ref: fields.py:180-203).
+
+    Host-side (concrete shapes change). Returns (field, new_grid_size)."""
+    aabb = np.asarray(aabb, np.float64)
+    new_aabb = np.asarray(new_aabb, np.float64)
+    gs = np.asarray(grid_size)
+    units = (aabb[1] - aabb[0]) / (gs - 1)
+    t_l = np.round((new_aabb[0] - aabb[0]) / units).astype(int)
+    b_r = np.minimum(np.round((new_aabb[1] - aabb[0]) / units).astype(int)
+                     + 1, gs)
+    planes, lines = [], []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        v = VEC_MODE[i]
+        planes.append(field['planes'][i][t_l[m0]:b_r[m0],
+                                         t_l[m1]:b_r[m1]])
+        lines.append(field['lines'][i][t_l[v]:b_r[v]])
+    new_size = tuple(int(x) for x in (b_r - t_l))
+    return {'planes': planes, 'lines': lines}, new_size
+
+
+def tv_loss_vm(field: FieldParams) -> jnp.ndarray:
+    """Total-variation regularizer over planes+lines
+    (ref: other_field.py:170-191 applied at fields.py:133-138)."""
+    total = 0.0
+    for p in field['planes']:
+        h, w, c = p.shape
+        dh = jnp.sum((p[1:, :, :] - p[:-1, :, :]) ** 2) / ((h - 1) * w * c)
+        dw = jnp.sum((p[:, 1:, :] - p[:, :-1, :]) ** 2) / (h * (w - 1) * c)
+        total = total + 2.0 * (dh + dw)
+    for l in field['lines']:
+        ln, c = l.shape
+        total = total + 2.0 * jnp.sum((l[1:] - l[:-1]) ** 2) / ((ln - 1) * c)
+    return total
+
+
+def _gaussian_kernel_1d(kernel_size: int, sigma: float) -> np.ndarray:
+    x = np.arange(-(kernel_size // 2), kernel_size // 2 + 1, dtype=np.float64)
+    k = np.exp(-x ** 2 / (2 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_smooth_loss_vm(field: FieldParams, kernel_size: int = 5,
+                            sigma: float = 0.5) -> jnp.ndarray:
+    """Sum of squared differences between the grids and their Gaussian blur,
+    borders excluded (ref: fields.py:301-309)."""
+    k1 = jnp.asarray(_gaussian_kernel_1d(kernel_size, sigma))
+    k2 = k1[:, None] * k1[None, :]
+    kk = kernel_size // 2
+    total = 0.0
+    for p in field['planes']:
+        x = p.transpose(2, 0, 1)[:, None]  # [C,1,H,W]
+        blur = jax.lax.conv_general_dilated(
+            x, k2[None, None], (1, 1), [(kk, kk), (kk, kk)])
+        blur = blur[:, 0].transpose(1, 2, 0)
+        total = total + jnp.sum((p[kk:-kk, kk:-kk] - blur[kk:-kk, kk:-kk]) ** 2)
+    for l in field['lines']:
+        x = l.T[:, None, :]  # [C,1,L]
+        blur = jax.lax.conv_general_dilated(
+            x, k1[None, None], (1,), [(kk, kk)])
+        blur = blur[:, 0].T
+        total = total + jnp.sum((l[kk:-kk] - blur[kk:-kk]) ** 2)
+    return total

@@ -111,3 +111,38 @@ def test_shade_mixed_all_path(geo_ckpt):
     trainer.init_dataset(max_train_rays=6000)
     logs = trainer.train(n_steps=8, log_every=4)
     assert np.isfinite(logs[-1]['loss'])
+
+
+@pytest.mark.slow
+def test_material_checkpoint_resume_flow_semantics(geo_ckpt, tmp_path):
+    """Resume matches the reference: flow params restart from init
+    ('flow' keys filtered, ref trainer_inv.py:102) and the frozen
+    sampling copies are cleared; reset_flows=False restores exactly."""
+    cfg = mat_cfg()
+    trainer = MaterialTrainer(cfg, geo_ckpt)
+    trainer.init_dataset(max_train_rays=8000)
+    trainer.train(n_steps=7, log_every=4)          # past nis_start_iter
+    assert 'diffuse' in trainer.flow_copies
+    path = str(tmp_path / 'mat.pkl')
+    trainer.save(path)
+
+    resumed = MaterialTrainer(cfg, geo_ckpt)
+    resumed.load(path)
+    assert resumed.start_step == trainer.start_step
+    assert resumed.flow_copies == {}
+    # non-flow params restored exactly
+    np.testing.assert_array_equal(
+        np.asarray(resumed.params['metallic']['layers'][0]['v']),
+        np.asarray(trainer.params['metallic']['layers'][0]['v']))
+    # flow params re-initialized (differ from the trained ones)
+    tr = np.asarray(
+        jax.tree.leaves(trainer.params['flow_diffuse'])[0])
+    rs = np.asarray(
+        jax.tree.leaves(resumed.params['flow_diffuse'])[0])
+    assert tr.shape == rs.shape and not np.allclose(tr, rs)
+
+    exact = MaterialTrainer(cfg, geo_ckpt)
+    exact.load(path, reset_flows=False)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(exact.params['flow_diffuse'])[0]), tr)
+    assert 'diffuse' in exact.flow_copies
