@@ -85,3 +85,30 @@ def test_render_image_shapes():
     assert out['ray_rgb'].shape == (24, 24, 3)
     assert np.isfinite(out['ray_rgb']).all()
     assert out['normal_vis'].shape == (24, 24, 3)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_after_upsample(tmp_path):
+    """Resume across a grid-upsample boundary: the restored grid size
+    comes from the checkpoint kwargs, not the config's N_voxel_init
+    (ref: trainer_inv.py:105-108 cfg.update(kwargs) on resume)."""
+    cfg = tiny_cfg(N_voxel_init=16 ** 3, N_voxel_final=24 ** 3,
+                   upsample_list=[3])
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    trainer.train(n_steps=6, log_every=6)          # upsample at step 3
+    up_gs = tuple(trainer.rcfg.sdf.grid_size)
+    assert up_gs != tuple(ShapeTrainer(cfg).rcfg.sdf.grid_size)
+    path = str(tmp_path / 'model.pkl')
+    trainer.save(path)
+
+    t2 = ShapeTrainer(cfg)                          # fresh = 16^3 shapes
+    t2.load(path)
+    assert tuple(t2.rcfg.sdf.grid_size) == up_gs
+    assert t2.n_voxel_list == trainer.n_voxel_list  # consumed entries gone
+    np.testing.assert_array_equal(
+        np.asarray(t2.params['sdf']['field']['planes'][0]),
+        np.asarray(trainer.params['sdf']['field']['planes'][0]))
+    t2.init_dataset()
+    logs = t2.train(n_steps=2, log_every=1)
+    assert np.isfinite(logs[-1]['loss'])
