@@ -293,7 +293,11 @@ def _block_params(block, y_pass, feature, cfg: FlowConfig):
         y_emb = positional_encoding(y_pass, cfg.angle_multires)
     else:
         y_emb = y_pass
-    h = jnp.concatenate([y_emb, feature], -1) * 2.0 - 1.0   # Reshift
+    h = jnp.concatenate([y_emb, feature], -1)
+    if cfg.flow_type != 'realnvp':
+        # Reshift input activation — pwquad/pwlinear only; the realnvp
+        # registry entry has input_activation=None (ref: flow.py:644-648)
+        h = h * 2.0 - 1.0
     n = len(block['layers'])
     for i, layer in enumerate(block['layers']):
         h = mlp.apply_linear(layer, h)
