@@ -16,6 +16,53 @@ import subprocess
 import numpy as np
 
 
+def calc_albedo_rescale(trainer, cfg, n_samples: int = 20):
+    """Median GT/pred albedo ratio over ~n_samples test views
+    (ref: eval_mat.py:80-112). Returns (single_channel, three_channel).
+
+    For tensoSDF scenes the blender GT 'albedo' is albedo*(1-metallic),
+    so the prediction is aligned the same way."""
+    import numpy as np
+    from tensoflow_tpu.data import database as db_mod
+    database = db_mod.parse_database_name(
+        cfg['database_name'], cfg['dataset_dir'], isTest=True,
+        isWhiteBG=cfg['isBGWhite'])
+    database_type = cfg['database_name'].split('/')[0]
+    ids = database.get_img_ids()
+    interval = max(len(ids) // n_samples, 1)
+    gt_l, pred_l = [], []
+    for i, vid in enumerate(ids):
+        if (i + 1) % interval:
+            continue
+        try:
+            gt_albedo = database.get_albedo(vid)
+        except NotImplementedError:
+            gt_albedo = None
+        if gt_albedo is None:
+            continue
+        h, w = gt_albedo.shape[:2]
+        out = trainer.render_image(database.get_pose(vid),
+                                   database.get_K(vid), h, w)
+        pred = out['albedo']
+        if database_type == 'tensoSDF':
+            pred = pred * (1.0 - out['metallic'])
+        mask = np.asarray(database.get_mask(vid)) > 0
+        gt_l.append(np.asarray(gt_albedo)[mask])
+        pred_l.append(np.asarray(pred)[mask])
+    gt = np.concatenate(gt_l, 0)
+    pred = np.concatenate(pred_l, 0).clip(min=1e-6)
+    single = float(np.median((gt / pred)[..., 0]))
+    three = np.median(gt / pred, axis=0)
+    msg = (f'single channel rescale ratio: {single}, '
+           f'three channels rescale ratio: {three}')
+    print(msg)
+    save_dir = os.path.join('data/nvs', cfg['name'])
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, 'albedoRescale_record.txt'), 'a') as f:
+        f.write(msg + '\n')
+    return single, three
+
+
 def main():
     from tensoflow_tpu.utils.platform import apply_platform_env
     apply_platform_env()
@@ -78,13 +125,22 @@ def main():
         verts, tris = mesh_mod.read_ply(cfg['mesh'])
         mats = mr.predict_vertex_materials(trainer.params, trainer.rcfg,
                                            verts.astype(np.float32))
+        albedo = np.asarray(mats['albedo'])
+        rescale_mode = cfg.get('albedoRescale', 0)
+        if rescale_mode:
+            single, three = calc_albedo_rescale(trainer, cfg)
+            albedo = albedo * (single if rescale_mode == 1 else three)
         out_dir = os.path.join('data/materials', cfg['name'])
         os.makedirs(out_dir, exist_ok=True)
-        # gamma-corrected albedo export (ref: eval_mat.py:129-134)
-        albedo_srgb = np.asarray(linear_to_srgb(mats['albedo']))
-        np.save(os.path.join(out_dir, 'albedo.npy'), albedo_srgb)
-        np.save(os.path.join(out_dir, 'metallic.npy'), mats['metallic'])
-        np.save(os.path.join(out_dir, 'roughness.npy'), mats['roughness'])
+        # all three channels are gamma-corrected because the Blender
+        # backend stores them as vertex colors, which Blender inverse-
+        # gamma-corrects on read (ref: eval_mat.py:129-134)
+        np.save(os.path.join(out_dir, 'albedo.npy'),
+                np.asarray(linear_to_srgb(albedo)))
+        np.save(os.path.join(out_dir, 'metallic.npy'),
+                np.asarray(linear_to_srgb(mats['metallic'])))
+        np.save(os.path.join(out_dir, 'roughness.npy'),
+                np.asarray(linear_to_srgb(mats['roughness'])))
         print(f'materials saved to {out_dir}')
 
     if args.relight:

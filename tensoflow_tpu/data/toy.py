@@ -107,3 +107,9 @@ class ToyDatabase(BaseDatabase):
 
     def get_mask(self, i):
         return self.masks[i]
+
+    def get_albedo(self, i):
+        """Ground-truth albedo map (constant by construction)."""
+        alb = np.empty((self.H, self.W, 3), np.float32)
+        alb[:] = np.array([0.7, 0.3, 0.2], np.float32)
+        return alb
