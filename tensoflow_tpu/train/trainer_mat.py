@@ -52,7 +52,9 @@ def build_material_config(cfg: Dict[str, Any],
                           ) -> mr.MaterialRendererConfig:
     shader_over = dict(cfg.get('shader_cfg') or {})
     base = mc_shading.MCShadingConfig()
-    valid = {k: v for k, v in shader_over.items() if k in base._fields}
+    # YAML lists must become tuples: the config is a hashable jit phase key
+    valid = {k: tuple(v) if isinstance(v, list) else v
+             for k, v in shader_over.items() if k in base._fields}
     shader = base._replace(**valid)
     sdf_cfg = tenso_sdf.SDFConfig(
         grid_size=tuple(geo_kwargs['grid_size']),
