@@ -33,6 +33,10 @@ cfg = json.load(open(argv[0]))
 bpy.ops.wm.read_factory_settings(use_empty=True)
 bpy.ops.import_mesh.ply(filepath=cfg['mesh'])
 obj = bpy.context.selected_objects[0]
+if cfg.get('trans'):
+    # z-up flip for GlossySynthetic-convention meshes
+    # (ref: relight_backend.py:48-49 --trans)
+    obj.rotation_euler[0] = np.pi / 2
 
 albedo = np.load(cfg['albedo'])
 rough = np.load(cfg['roughness'])
@@ -67,6 +71,7 @@ world.node_tree.links.new(env.outputs['Color'],
 
 scene = bpy.context.scene
 scene.render.engine = 'CYCLES'
+scene.render.film_transparent = True
 scene.render.resolution_x = cfg['width']
 scene.render.resolution_y = cfg['height']
 for i, pose in enumerate(cfg['poses']):
@@ -98,6 +103,7 @@ def run_blender_relight(cfg, hdr_path: Optional[str] = None,
         'metallic': os.path.join('data/materials', cfg['name'],
                                  'metallic.npy'),
         'hdr': hdr_path or '',
+        'trans': bool(cfg.get('trans', False)),
         'poses': [] if poses is None else [p.tolist() for p in poses],
         'width': hw[1], 'height': hw[0],
         'out_pattern': os.path.join(out_dir, 'relit_%03d.png'),
