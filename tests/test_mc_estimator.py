@@ -82,3 +82,32 @@ def test_specular_estimator_white_furnace(setup):
     assert np.isfinite(spec).all()
     assert (spec >= 0).all()
     assert (spec <= 0.5 * 1.2).all()  # bounded by light * margin
+
+
+@pytest.mark.parametrize('olv,human', [('direction', False),
+                                       ('sphere_direction', True)])
+def test_outer_light_variants_forward(setup, olv, human):
+    """MLP outer lights (direction / sphere_direction + human capturer
+    light) shade finitely — the custom-scene config path."""
+    _, _, grid = setup
+    cfg = mc_shading.MCShadingConfig(
+        diffuse_sample_num=16, specular_sample_num=8,
+        grid_size=(16, 16, 16), light_reso=16, outer_light_version=olv,
+        human_lights=human, inner_light_budget=0.25)
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg)
+    aabb = jnp.asarray([[-1.0] * 3, [1.0] * 3])
+    rng = np.random.RandomState(3)
+    n = 4
+    nrm = rng.randn(n, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    view = nrm + 0.2 * rng.randn(n, 3).astype(np.float32)
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    pts = (0.1 * rng.randn(n, 3)).astype(np.float32)
+    hp = (jnp.asarray(np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1)))
+          if human else None)
+    out = mc_shading.mc_forward(
+        params, cfg, grid, 2.0 / 127, aabb, jnp.asarray(pts),
+        jnp.asarray(view), jnp.asarray(nrm), mc_shading.ShadePhase(),
+        jax.random.PRNGKey(1), True, human_poses=hp)
+    v = np.asarray(out['rgb_pr'])
+    assert np.isfinite(v).all() and (v > 0).all()
