@@ -77,6 +77,13 @@ class ShapeRendererConfig(NamedTuple):
     isBGWhite: bool = True
     blend_ratio: float = 0.0
 
+    # NeRF++ inverted-sphere background (real-capture scenes). The
+    # reference defines the net + config flag but leaves rendering
+    # unimplemented (ref: shapeRenderer.py:223-225 net, 1109/1180 raise);
+    # this is the functional completion.
+    predict_BG: bool = False
+    n_bg_samples: int = 32
+
 
 def aabb_array(cfg: ShapeRendererConfig):
     return jnp.asarray(cfg.aabb, jnp.float32)
@@ -101,12 +108,15 @@ def n_march_candidates(cfg: ShapeRendererConfig) -> int:
 
 
 def init_shape_renderer(rng, cfg: ShapeRendererConfig) -> Dict[str, Any]:
-    k1, k2 = jax.random.split(rng)
-    return {
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {
         'sdf': tenso_sdf.init_tenso_sdf(k1, cfg.sdf),
         'deviation': mlp.init_variance(cfg.inv_s_init),
         'shading': shading_mod.init_shading(k2, cfg.shading),
     }
+    if cfg.predict_BG:
+        params['bg'] = mlp.init_nerf_bg(k3)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +246,47 @@ def sample_ray_hierarchical(params, cfg: ShapeRendererConfig, rays_o, dirs,
 # render core (ref: 1105-1277)
 # ---------------------------------------------------------------------------
 
+def render_background(params_bg, cfg: ShapeRendererConfig, rays_o, dirs,
+                      rng, is_train: bool):
+    """NeRF++ inverted-sphere background color per ray.
+
+    Samples inverse radius 1/r uniformly in (0, 1] (r from the unit
+    sphere outward), evaluates the background MLP on (x/r, 1/r) + view
+    dir, and composites front-to-back with
+    alpha = 1 - exp(-softplus(sigma) * dist) (the reference's
+    density_activation, shapeRenderer.py:810-811; its BG rendering
+    itself is unimplemented — raise at shapeRenderer.py:1109/1180).
+    Returns [rn, 3] linear color."""
+    n = cfg.n_bg_samples
+    rn = rays_o.shape[0]
+    s = jnp.linspace(1.0, 1.0 / n, n)                      # descending 1/r
+    if is_train and rng is not None:
+        jitter = (jax.random.uniform(rng, (rn, n)) - 0.5) * (1.0 / n)
+        s = jnp.clip(s[None] + jitter, 1e-4, 1.0)
+        s = -jnp.sort(-s, axis=-1)                         # keep descending
+    else:
+        s = jnp.broadcast_to(s[None], (rn, n))
+    r = 1.0 / s                                            # ascending radii
+    od = jnp.sum(rays_o * dirs, -1, keepdims=True)
+    oo = jnp.sum(rays_o * rays_o, -1, keepdims=True)
+    # far intersection of the ray with the radius-r sphere
+    t = -od + jnp.sqrt(jnp.maximum(od ** 2 - oo + r ** 2, 1e-6))
+    pts = rays_o[:, None, :] + dirs[:, None, :] * t[..., None]
+    pr = jnp.maximum(
+        jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-3)
+    pts4 = jnp.concatenate([pts / pr, 1.0 / pr], -1)
+    view = jnp.broadcast_to(dirs[:, None, :], pts.shape)
+    sigma, rgb = mlp.apply_nerf_bg(params_bg, pts4.reshape(-1, 4),
+                                   view.reshape(-1, 3))
+    sigma = sigma.reshape(rn, n)
+    rgb = jnp.exp(rgb.reshape(rn, n, 3))       # log-space init at 0.5
+    dists = jnp.concatenate(
+        [t[:, 1:] - t[:, :-1], jnp.full((rn, 1), 1e4, t.dtype)], -1)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(sigma) * dists)
+    weights, _ = composite.weights_from_alpha(alpha)
+    return composite.accumulate(weights, rgb)
+
+
 def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
                 step, cos_anneal_ratio, rng, is_train: bool,
                 radiance_on: bool = False, occ_loss_on: bool = False,
@@ -343,7 +394,13 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     weights, trans = composite.weights_from_alpha(alpha, inner)
     acc = composite.accumulate(weights)
     color = composite.accumulate(weights, color_full.reshape(rn, sn, 3))
-    if cfg.isBGWhite:
+    # background behind the foreground (ref: shapeRenderer.py:1178-1182)
+    if cfg.predict_BG:
+        bg_rng = jax.random.fold_in(rng, 7) if rng is not None else None
+        bg_color = render_background(params['bg'], cfg, rays_o, dirs,
+                                     bg_rng, is_train)
+        color = color + bg_color * (1.0 - acc)
+    elif cfg.isBGWhite:
         color = color + (1.0 - acc)
 
     outputs: Dict[str, Any] = {
@@ -389,7 +446,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
             rough_full = occ_info['roughness']
         radiance = composite.accumulate(weights,
                                         rad_full.reshape(rn, sn, 3))
-        if cfg.isBGWhite:
+        if not cfg.predict_BG and cfg.isBGWhite:
             radiance = radiance + (1.0 - acc)
         rw = composite.accumulate(weights, rough_full.reshape(rn, sn, 1))
         outputs['radiance'] = radiance

@@ -75,7 +75,9 @@ def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
         apply_mask_loss=cfg['apply_mask_loss'],
         has_radiance_field=cfg['has_radiance_field'],
         radiance_field_step=cfg['radiance_field_step'],
-        isBGWhite=cfg['isBGWhite'], blend_ratio=cfg['blend_ratio'])
+        isBGWhite=cfg['isBGWhite'], blend_ratio=cfg['blend_ratio'],
+        predict_BG=cfg['predict_BG'],
+        n_bg_samples=cfg.get('n_bg_samples', 32))
 
 
 def lr_factor_fn(cfg):

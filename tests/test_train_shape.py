@@ -112,3 +112,27 @@ def test_checkpoint_resume_after_upsample(tmp_path):
     t2.init_dataset()
     logs = t2.train(n_steps=2, log_every=1)
     assert np.isfinite(logs[-1]['loss'])
+
+
+@pytest.mark.slow
+def test_predict_bg_training(tmp_path):
+    """NeRF++ inverted-sphere background: trains end-to-end and the BG
+    color moves from its 0.5 init toward the white toy background.
+    (The reference defines this net but its rendering raises
+    NotImplementedError; ours is functional.)"""
+    import jax.numpy as jnp
+    from tensoflow_tpu.models import shape_renderer as sr
+    cfg = tiny_cfg(apply_mask_loss=False, predict_BG=True,
+                   isBGWhite=False, n_bg_samples=16)
+    trainer = ShapeTrainer(cfg)
+    assert 'bg' in trainer.params
+    trainer.init_dataset()
+    logs = trainer.train(n_steps=30, log_every=10)
+    assert np.isfinite(logs[-1]['loss'])
+    assert logs[-1]['loss'] < logs[0]['loss']
+    o = jnp.asarray([[0.0, 0.0, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    bg = np.asarray(sr.render_background(trainer.params['bg'], trainer.rcfg,
+                                         o, d, None, False))[0]
+    assert np.isfinite(bg).all()
+    assert bg.mean() > 0.6      # moved from 0.5 toward white
