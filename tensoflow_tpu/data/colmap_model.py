@@ -132,6 +132,57 @@ def read_points3d_binary(path) -> Dict[int, Point3D]:
     return pts
 
 
+def write_cameras_binary(cams: Dict[int, Camera], path):
+    """(ref: colmap/read_write_model.py write_cameras_binary)"""
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(cams)))
+        for cam in cams.values():
+            mid, np_ = MODEL_NAME_TO_ID[cam.model]
+            f.write(struct.pack('<iiQQ', cam.id, mid,
+                                int(cam.width), int(cam.height)))
+            f.write(struct.pack(f'<{np_}d', *np.asarray(cam.params)[:np_]))
+
+
+def write_images_binary(images: Dict[int, 'Image'], path):
+    """(ref: colmap/read_write_model.py write_images_binary)"""
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(images)))
+        for im in images.values():
+            f.write(struct.pack('<i', im.id))
+            f.write(struct.pack('<4d', *np.asarray(im.qvec)))
+            f.write(struct.pack('<3d', *np.asarray(im.tvec)))
+            f.write(struct.pack('<i', im.camera_id))
+            f.write(im.name.encode('utf-8') + b'\x00')
+            n2d = len(im.xys)
+            f.write(struct.pack('<Q', n2d))
+            for xy, pid in zip(np.asarray(im.xys),
+                               np.asarray(im.point3D_ids)):
+                f.write(struct.pack('<2dq', xy[0], xy[1], int(pid)))
+
+
+def write_points3d_binary(pts: Dict[int, Point3D], path):
+    """(ref: colmap/read_write_model.py write_points3D_binary)"""
+    with open(path, 'wb') as f:
+        f.write(struct.pack('<Q', len(pts)))
+        for p in pts.values():
+            f.write(struct.pack('<Q', p.id))
+            f.write(struct.pack('<3d', *np.asarray(p.xyz)))
+            f.write(struct.pack('<3B', *np.asarray(p.rgb)))
+            f.write(struct.pack('<d', float(p.error)))
+            f.write(struct.pack('<Q', len(p.image_ids)))
+            for img_id, p2d in zip(np.asarray(p.image_ids),
+                                   np.asarray(p.point2D_idxs)):
+                f.write(struct.pack('<ii', int(img_id), int(p2d)))
+
+
+def write_model(cams, images, pts, path):
+    """Binary model writer (ref: colmap/read_write_model.write_model)."""
+    os.makedirs(path, exist_ok=True)
+    write_cameras_binary(cams, os.path.join(path, 'cameras.bin'))
+    write_images_binary(images, os.path.join(path, 'images.bin'))
+    write_points3d_binary(pts, os.path.join(path, 'points3D.bin'))
+
+
 def read_cameras_text(path) -> Dict[int, Camera]:
     cams = {}
     with open(path) as f:
