@@ -177,7 +177,8 @@ def _upsample_zvals(rays_o, dirs, z_vals, sdf, n_importance, inv_s):
 
 
 def sample_ray_hierarchical(params, cfg: ShapeRendererConfig, rays_o, dirs,
-                            near, far, radii, rays_cos, rng, is_train: bool):
+                            near, far, radii, rays_cos, rng, is_train: bool,
+                            packed=None):
     """Fixed-count stratified + importance sampling (ref: 871-932).
 
     Returns (t_starts, t_ends, mask) each [rn, n_samples + n_importance].
@@ -212,7 +213,7 @@ def sample_ray_hierarchical(params, cfg: ShapeRendererConfig, rays_o, dirs,
             lv = level_of(tv)
             return tenso_sdf.sdf_only(
                 params['sdf'], cfg.sdf, pts.reshape(-1, 3), aabb,
-                lv.reshape(-1, 1)).reshape(tv.shape)
+                lv.reshape(-1, 1), packed=packed).reshape(tv.shape)
 
         sdf = jax.lax.stop_gradient(sdf_at(t_vals))
         inv_s0 = mlp.apply_variance(params['deviation'], cfg.std_act)
@@ -303,6 +304,9 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     rn = rays_o.shape[0]
     br = base_radii(cfg)
     near, far = near_far_from_sphere(rays_o, dirs)
+    # pack the VM field atlas ONCE per render (pyramids + bf16 cast hoisted
+    # out of every field call — round-1 trace lever W6)
+    packed = tenso_sdf.pack_field(params['sdf'], cfg.sdf)
 
     k_sample, k_occ = jax.random.split(rng)
     if cfg.use_occ_grid:
@@ -314,7 +318,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     else:
         t_starts, t_ends, valid = sample_ray_hierarchical(
             params, cfg, rays_o, dirs, near, far, radii, rays_cos,
-            k_sample, is_train)
+            k_sample, is_train, packed=packed)
 
     sn = t_starts.shape[1]
     mid = 0.5 * (t_starts + t_ends)
@@ -363,7 +367,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
     sdf, app_feat, grads, hessian = tenso_sdf.sdf_with_grad_hessian(
         params['sdf'], cfg.sdf, s_pts, aabb, s_lv,
-        with_hessian=is_train)
+        with_hessian=is_train, packed=packed)
     inv_s = mlp.apply_variance(params['deviation'], cfg.std_act)
     inv_s = jnp.clip(inv_s, 1e-6, 1e6)
     if cfg.freeze_inv_s_step is not None and is_train:
@@ -461,7 +465,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         if occ_loss_on:
             outputs['loss_occ'] = _occ_loss(
                 params, cfg, aabb, s_pts, sdf, normals, s_dirs,
-                occ_info, slot_mask, k_occ, inv_s)
+                occ_info, slot_mask, k_occ, inv_s, packed=packed)
         else:
             outputs['loss_occ'] = jnp.zeros(())
 
@@ -472,19 +476,20 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         sbr_d = compute_ball_radii(t_depth, radii, rays_cos)
         lv_d = jnp.log2(sbr_d / br)
         g = tenso_sdf.gradient_only(params['sdf'], cfg.sdf, surf_pts, aabb,
-                                    lv_d)
+                                    lv_d, packed=packed)
         nrm = safe_normalize(g)
         inner_d = ~jnp.any((aabb[0] > surf_pts) | (surf_pts > aabb[1]), -1,
                            keepdims=True)
         outputs['normal_vis'] = ((nrm + 1.0) * 0.5) * inner_d
         feat = tenso_sdf.apply_tenso_sdf(params['sdf'], cfg.sdf, surf_pts,
-                                         aabb, lv_d)[..., 1:]
+                                         aabb, lv_d, packed=packed)[..., 1:]
         _, _, occ_info_s, inter = shading_mod.apply_shading(
             params['shading'], cfg.shading, mips, surf_pts, nrm, -dirs, feat,
             human_poses, step=step, inter_results=True)
 
         def sdf_fun(x):
-            return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb)
+            return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb,
+                                      packed=packed)
         _, occ_w, _ = secondary.secondary_intersection(
             sdf_fun, inv_s, surf_pts, occ_info_s['reflective'], 128, 9)
         outputs['occ_prob_gt'] = jnp.sum(occ_w, -1, keepdims=True)
@@ -496,7 +501,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
 
 def _occ_loss(params, cfg: ShapeRendererConfig, aabb, flat_pts, sdf, normals,
-              flat_dirs, occ_info, flat_inner, rng, inv_s):
+              flat_dirs, occ_info, flat_inner, rng, inv_s, packed=None):
     """Occlusion-probability supervision (ref: shapeRenderer.py:1027-1103).
 
     Fixed-shape: select up to ``occ_loss_max_pn`` qualifying surface samples
@@ -518,7 +523,8 @@ def _occ_loss(params, cfg: ShapeRendererConfig, aabb, flat_pts, sdf, normals,
     sel_occ = jnp.take(occ_info['occ_prob'], idx, axis=0, mode='clip')
 
     def sdf_fun(x):
-        return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb)
+        return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb,
+                                  packed=packed)
 
     _, w, _ = secondary.secondary_intersection(sdf_fun, inv_s, sel_pts,
                                                sel_ref, 64, 16)

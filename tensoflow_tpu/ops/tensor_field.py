@@ -21,7 +21,7 @@ Texel convention matches nvdiffrast: uv in [0,1], texel centers at
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -226,6 +226,315 @@ def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1,
             lf = sample_linear_1d(field['lines'][i], w)
         feats.append(pf * lf)
     return jnp.concatenate(feats, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# packed atlas: the gather-friendly hot-path representation
+# ---------------------------------------------------------------------------
+#
+# TPU perf note (round-1 trace finding, CLAUDE.md): sampling the VM field as
+# separate [H,W,C] textures produced ~51ms/step of pure layout-relayout async
+# copies.  The packed representation flattens every plane/line (and every mip
+# level) into ONE [T, C] row-major buffer, so each field evaluation is a
+# single well-shaped row gather + elementwise math, with no relayouts and a
+# single f32->bf16 cast at pack time.  Pack once per step (differentiable —
+# the pyramid/concat transpose back to slices + pool-transpose in the VJP)
+# and reuse across every field call of that step.
+
+
+class PackedMeta(NamedTuple):
+    """Static atlas layout (python ints only — hashable jit constant)."""
+    plane_offsets: Tuple[Tuple[int, ...], ...]   # [3][L] row offset
+    plane_shapes: Tuple[Tuple[Tuple[int, int], ...], ...]  # [3][L] (H, W)
+    line_offsets: Tuple[Tuple[int, ...], ...]    # [3][L]
+    line_lens: Tuple[Tuple[int, ...], ...]       # [3][L]
+    n_levels: int
+    n_comp: int
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedVMField:
+    """A VM field flattened into a single gather atlas [T, C]."""
+
+    def __init__(self, buffer, meta: PackedMeta):
+        self.buffer = buffer
+        self.meta = meta
+
+    def tree_flatten(self):
+        return (self.buffer,), self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, children):
+        return cls(children[0], meta)
+
+
+def pack_vm_field(field: FieldParams, n_levels: int = 1,
+                  gather_dtype=None) -> PackedVMField:
+    """Build the atlas: all planes, lines, and mip levels, one buffer.
+
+    Differentiable w.r.t. the field params; call once per train step."""
+    parts = []
+    offset = 0
+    p_offs, p_shapes, l_offs, l_lens = [], [], [], []
+    for i in range(3):
+        pyr = build_pyramid_2d(field['planes'][i], n_levels)
+        offs, shps = [], []
+        for tex in pyr:
+            h, w, _ = tex.shape
+            parts.append(tex.reshape(h * w, -1))
+            offs.append(offset)
+            shps.append((h, w))
+            offset += h * w
+        p_offs.append(tuple(offs))
+        p_shapes.append(tuple(shps))
+    for i in range(3):
+        pyr = build_pyramid_1d(field['lines'][i], n_levels)
+        offs, lens = [], []
+        for tex in pyr:
+            l = tex.shape[0]
+            parts.append(tex)
+            offs.append(offset)
+            lens.append(l)
+            offset += l
+        l_offs.append(tuple(offs))
+        l_lens.append(tuple(lens))
+    buf = jnp.concatenate(parts, axis=0)
+    if gather_dtype is not None:
+        buf = buf.astype(gather_dtype)
+    meta = PackedMeta(tuple(p_offs), tuple(p_shapes), tuple(l_offs),
+                      tuple(l_lens), n_levels, int(buf.shape[-1]))
+    return PackedVMField(buf, meta)
+
+
+def _bilinear_idx_wts(base, h, w, ut, vt):
+    """Indices+weights of a clamped bilinear lookup at continuous texel
+    coords (ut, vt).  base/h/w: scalars or arrays broadcastable to ut.
+    Returns (idx [..., 4] int32, wts [..., 4] f32)."""
+    u0 = jnp.floor(ut)
+    v0 = jnp.floor(vt)
+    fu = ut - u0
+    fv = vt - v0
+    u0i = jnp.clip(u0.astype(jnp.int32), 0, h - 1)
+    u1i = jnp.clip(u0.astype(jnp.int32) + 1, 0, h - 1)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, w - 1)
+    v1i = jnp.clip(v0.astype(jnp.int32) + 1, 0, w - 1)
+    idx = jnp.stack([base + u0i * w + v0i, base + u0i * w + v1i,
+                     base + u1i * w + v0i, base + u1i * w + v1i], axis=-1)
+    wts = jnp.stack([(1 - fu) * (1 - fv), (1 - fu) * fv,
+                     fu * (1 - fv), fu * fv], axis=-1)
+    return idx, wts
+
+
+def _linear_idx_wts(base, l, xt):
+    """Indices+weights of a clamped linear lookup at continuous texel coord
+    xt.  Returns (idx [..., 2], wts [..., 2])."""
+    x0 = jnp.floor(xt)
+    f = xt - x0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, l - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, l - 1)
+    idx = jnp.stack([base + x0i, base + x1i], axis=-1)
+    wts = jnp.stack([1 - f, f], axis=-1)
+    return idx, wts
+
+
+def _level_branches(meta: PackedMeta, level, n):
+    """Adjacent-mip branch selection for per-sample fractional levels.
+
+    Returns [(l0 [N] int32 or int, weight [N] f32), ...] with at most two
+    branches; equivalent to the triangle-weight blend over all levels
+    (only floor/ceil have nonzero weight)."""
+    if meta.n_levels == 1:
+        return [(0, None)]
+    lv = jnp.clip(jnp.reshape(level, (n,)), 0.0, meta.n_levels - 1.0)
+    l0 = jnp.clip(jnp.floor(lv).astype(jnp.int32), 0, meta.n_levels - 2)
+    f = lv - l0.astype(lv.dtype)
+    return [(l0, 1.0 - f), (l0 + 1, f)]
+
+
+def _tables(vals_per_level):
+    return jnp.asarray(vals_per_level, jnp.int32)
+
+
+def _gather_rows(buffer, idx):
+    """One row gather; idx [...]; returns [..., C] f32."""
+    rows = jnp.take(buffer, idx.reshape(-1), axis=0, mode='clip')
+    return rows.reshape(idx.shape + (buffer.shape[-1],)).astype(jnp.float32)
+
+
+def vm_features_packed(packed: PackedVMField, xyz01, level=None):
+    """vm_features on the packed atlas: [N,3] -> [N, 3C].
+
+    Matches vm_features (same texel/mip conventions) with one fused gather
+    per mip branch instead of 9 separate texture lookups."""
+    meta = packed.meta
+    xyz01 = jax.lax.stop_gradient(xyz01)
+    n = xyz01.shape[0]
+    if level is not None:
+        level = jax.lax.stop_gradient(level)
+    cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
+
+    out = None
+    for l0, mw in _level_branches(meta, level, n):
+        idx_parts, wts_parts = [], []
+        for i in range(3):
+            u01 = cols[MAT_MODE[i][0]]
+            v01 = cols[MAT_MODE[i][1]]
+            if isinstance(l0, int):
+                h, w = meta.plane_shapes[i][l0]
+                base = meta.plane_offsets[i][l0]
+            else:
+                h = jnp.take(_tables([s[0] for s in meta.plane_shapes[i]]),
+                             l0)
+                w = jnp.take(_tables([s[1] for s in meta.plane_shapes[i]]),
+                             l0)
+                base = jnp.take(_tables(meta.plane_offsets[i]), l0)
+            hf = h if isinstance(l0, int) else h.astype(jnp.float32)
+            wf = w if isinstance(l0, int) else w.astype(jnp.float32)
+            idx, wts = _bilinear_idx_wts(base, h, w, u01 * hf - 0.5,
+                                         v01 * wf - 0.5)
+            idx_parts.append(idx)
+            wts_parts.append(wts)
+        for i in range(3):
+            x01 = cols[VEC_MODE[i]]
+            if isinstance(l0, int):
+                ln = meta.line_lens[i][l0]
+                base = meta.line_offsets[i][l0]
+            else:
+                ln = jnp.take(_tables(meta.line_lens[i]), l0)
+                base = jnp.take(_tables(meta.line_offsets[i]), l0)
+            lf = ln if isinstance(l0, int) else ln.astype(jnp.float32)
+            idx, wts = _linear_idx_wts(base, ln, x01 * lf - 0.5)
+            idx_parts.append(idx)
+            wts_parts.append(wts)
+
+        idx = jnp.concatenate(idx_parts, axis=-1)       # [N, 18]
+        wts = jnp.concatenate(wts_parts, axis=-1)
+        rows = _gather_rows(packed.buffer, idx)         # [N, 18, C]
+        vals = rows * wts[..., None]
+        planes = vals[:, :12].reshape(n, 3, 4, -1).sum(axis=2)   # [N,3,C]
+        lines = vals[:, 12:].reshape(n, 3, 2, -1).sum(axis=2)    # [N,3,C]
+        # mip semantics: blend each TEXTURE across levels first, multiply
+        # after (dr.texture trilinear filtering, matching vm_features —
+        # blend-of-products is NOT equivalent)
+        if mw is not None:
+            planes = planes * mw[:, None, None]
+            lines = lines * mw[:, None, None]
+        if out is None:
+            out = (planes, lines)
+        else:
+            out = (out[0] + planes, out[1] + lines)
+    return (out[0] * out[1]).reshape(n, -1)
+
+
+def vm_stencil_features(packed: PackedVMField, xyz01, delta01, level=None):
+    """Features for the 7-point FD stencil with deduplicated lookups.
+
+    xyz01 [N,3] contracted coords; delta01 [3] static per-axis offsets in
+    contracted units (= 1/(grid_size-1)).  Stencil order:
+    [center, +x, -x, +y, -y, +z, -z] (matching fields/tenso_sdf offsets).
+
+    The 7 stencil points share texture neighborhoods: per plane only 5
+    distinct bilinear lookups exist (center, ±u, ±v) and per line only 3
+    (center, ±x) — 60+18 gather rows/sample instead of the naive 7x18=126.
+    Returns [7, N, 3C] (stencil-major so the center slice is contiguous).
+    """
+    meta = packed.meta
+    xyz01 = jax.lax.stop_gradient(xyz01)
+    n = xyz01.shape[0]
+    if level is not None:
+        level = jax.lax.stop_gradient(level)
+    cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
+    d01 = [float(delta01[0]), float(delta01[1]), float(delta01[2])]
+    # lookup-variant shift multipliers: [c, u+, u-, v+, v-]
+    su = jnp.asarray([0.0, 1.0, -1.0, 0.0, 0.0])
+    sv = jnp.asarray([0.0, 0.0, 0.0, 1.0, -1.0])
+    sx = jnp.asarray([0.0, 1.0, -1.0])
+
+    P = [None, None, None]   # per plane: [N, 5, C]
+    L = [None, None, None]   # per line:  [N, 3, C]
+    for l0, mw in _level_branches(meta, level, n):
+        idx_parts, wts_parts = [], []
+        for i in range(3):
+            a, b = MAT_MODE[i]
+            if isinstance(l0, int):
+                h, w = meta.plane_shapes[i][l0]
+                base = meta.plane_offsets[i][l0]
+                hf, wf = float(h), float(w)
+            else:
+                h = jnp.take(_tables([s[0] for s in meta.plane_shapes[i]]),
+                             l0)
+                w = jnp.take(_tables([s[1] for s in meta.plane_shapes[i]]),
+                             l0)
+                base = jnp.take(_tables(meta.plane_offsets[i]), l0)
+                hf, wf = h.astype(jnp.float32), w.astype(jnp.float32)
+            ut0 = cols[a] * hf - 0.5                    # [N]
+            vt0 = cols[b] * wf - 0.5
+            dut = d01[a] * hf                           # [N] or scalar
+            dvt = d01[b] * wf
+            ut = ut0[:, None] + su[None, :] * (
+                dut[:, None] if not isinstance(l0, int) else dut)
+            vt = vt0[:, None] + sv[None, :] * (
+                dvt[:, None] if not isinstance(l0, int) else dvt)
+            hb = h[:, None] if not isinstance(l0, int) else h
+            wb = w[:, None] if not isinstance(l0, int) else w
+            bb = base[:, None] if not isinstance(l0, int) else base
+            idx, wts = _bilinear_idx_wts(bb, hb, wb, ut, vt)  # [N,5,4]
+            idx_parts.append(idx.reshape(n, 20))
+            wts_parts.append(wts.reshape(n, 20))
+        for i in range(3):
+            c = VEC_MODE[i]
+            if isinstance(l0, int):
+                ln = meta.line_lens[i][l0]
+                base = meta.line_offsets[i][l0]
+                lf = float(ln)
+            else:
+                ln = jnp.take(_tables(meta.line_lens[i]), l0)
+                base = jnp.take(_tables(meta.line_offsets[i]), l0)
+                lf = ln.astype(jnp.float32)
+            xt0 = cols[c] * lf - 0.5
+            dxt = d01[c] * lf
+            xt = xt0[:, None] + sx[None, :] * (
+                dxt[:, None] if not isinstance(l0, int) else dxt)
+            lb = ln[:, None] if not isinstance(l0, int) else ln
+            bb = base[:, None] if not isinstance(l0, int) else base
+            idx, wts = _linear_idx_wts(bb, lb, xt)            # [N,3,2]
+            idx_parts.append(idx.reshape(n, 6))
+            wts_parts.append(wts.reshape(n, 6))
+
+        idx = jnp.concatenate(idx_parts, axis=-1)       # [N, 78]
+        wts = jnp.concatenate(wts_parts, axis=-1)
+        rows = _gather_rows(packed.buffer, idx)         # [N, 78, C]
+        vals = rows * wts[..., None]
+        for i in range(3):
+            p = vals[:, 20 * i:20 * (i + 1)].reshape(n, 5, 4, -1).sum(2)
+            lvals = vals[:, 60 + 6 * i:60 + 6 * (i + 1)]
+            ll = lvals.reshape(n, 3, 2, -1).sum(2)
+            if mw is not None:
+                p = p * mw[:, None, None]
+                ll = ll * mw[:, None, None]
+            P[i] = p if P[i] is None else P[i] + p
+            L[i] = ll if L[i] is None else L[i] + ll
+
+    # assemble the 7 stencil points from the deduplicated lookups
+    # plane variant index: [c, a+, a-, b+, b-]; line: [c, x+, x-]
+    stencil = [(None, 0), (0, +1), (0, -1), (1, +1), (1, -1), (2, +1),
+               (2, -1)]
+    feats = []
+    for d, sign in stencil:
+        per_plane = []
+        for i in range(3):
+            a, b = MAT_MODE[i]
+            c = VEC_MODE[i]
+            pi, li = 0, 0
+            if d == a:
+                pi = 1 if sign > 0 else 2
+            elif d == b:
+                pi = 3 if sign > 0 else 4
+            elif d == c:
+                li = 1 if sign > 0 else 2
+            per_plane.append(P[i][:, pi] * L[i][:, li])
+        feats.append(jnp.concatenate(per_plane, axis=-1))
+    return jnp.stack(feats, axis=0)                     # [7, N, 3C]
 
 
 # ---------------------------------------------------------------------------
