@@ -58,7 +58,7 @@ def main():
     # steady-state sparsity training operates at (the sampler budget +
     # compaction otherwise measure the untrained all-occupied worst case)
     centers = grid_mod.occ_grid_cell_centers(occ_cfg)
-    alphas = jax.jit(lambda p, c: sr.compute_occ_alpha(p, rcfg, c))(
+    alphas = jax.jit(lambda p, c: sr.compute_occ_alpha_chunked(p, rcfg, c))(
         params, centers)
     occ_state = grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, 0)
     tx, opt_state = make_optimizer(cfg, params, 0)

@@ -95,16 +95,19 @@ def _compute_dtype(cfg: SDFConfig):
     return jnp.bfloat16 if cfg.gather_dtype == 'bfloat16' else jnp.float32
 
 
-def _mlp_head(params, cfg: SDFConfig, feats, xyz_in):
-    """Fused SDF-MLP forward: feats [M, 3C] + embedded coords [M, E] ->
-    [M, 1+app_dim].  Two K-contractions instead of a concat (no [M,129]
-    relayout), bf16 inputs / f32 accumulation when gather_dtype is bf16."""
+def _mlp_head(params, cfg: SDFConfig, feats_list, xyz_in):
+    """Fused SDF-MLP forward: per-plane feats [[M, C]]*3 + embedded coords
+    [M, E] -> [M, hidden].  Split-K contractions instead of a concat (a
+    [M,129] lane-dim concat is a relayout copy on TPU), bf16 inputs / f32
+    accumulation when gather_dtype is bf16."""
     cd = _compute_dtype(cfg)
     w0 = params['mlp'][0]['w']
-    nf = feats.shape[-1]
-    h = (_dot_f32(feats.astype(cd), w0[:nf].astype(cd))
-         + _dot_f32(xyz_in.astype(cd), w0[nf:].astype(cd))
-         + params['mlp'][0]['b'])
+    # ONE K=129 matmul: split-K partial dots each round-trip the f32
+    # [M, hidden] accumulator through HBM (measured ~9ms per partial at
+    # 917k rows) — the bf16 lane-concat of the inputs is far cheaper.
+    x = jnp.concatenate([f.astype(cd) for f in feats_list]
+                        + [xyz_in.astype(cd)], axis=-1)
+    h = _dot_f32(x, w0.astype(cd)) + params['mlp'][0]['b']
     return mlp.softplus100(h)
 
 
@@ -115,7 +118,7 @@ def apply_tenso_sdf(params, cfg: SDFConfig, xyz, aabb, level=None,
     if packed is None:
         packed = pack_field(params, cfg)
     xyz01 = contraction(xyz, aabb)
-    feats = tfield.vm_features_packed(packed, xyz01, level)
+    feats = tfield.vm_features_split(packed, xyz01, level)
     if cfg.sdf_multires > 0:
         # multires==3 embeds the *contracted* coords (ref: fields.py:294-295)
         pe_in = xyz01 if cfg.sdf_multires == 3 else xyz
@@ -132,7 +135,7 @@ def sdf_only(params, cfg: SDFConfig, xyz, aabb, level=None, packed=None):
     if packed is None:
         packed = pack_field(params, cfg)
     xyz01 = contraction(xyz, aabb)
-    feats = tfield.vm_features_packed(packed, xyz01, level)
+    feats = tfield.vm_features_split(packed, xyz01, level)
     if cfg.sdf_multires > 0:
         pe_in = xyz01 if cfg.sdf_multires == 3 else xyz
         xyz_in = positional_encoding(pe_in, cfg.sdf_multires)
@@ -166,7 +169,8 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
     eps = units(cfg, aabb)                      # [3] world units (traced)
     d01 = _stencil_delta01(cfg)
     xyz01 = contraction(xyz, aabb)
-    feats = tfield.vm_stencil_features(packed, xyz01, d01, level)  # [7,N,3C]
+    # list of 3 arrays [7, N, C] (dedup'ed lookups, split per plane)
+    feats = tfield.vm_stencil_features_split(packed, xyz01, d01, level)
 
     # embedded coords of the 7 stencil points
     offs01 = np.zeros((7, 3), np.float32)
@@ -186,7 +190,8 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
         xyz_in = (xyz[None] + offs_w[:, None, :]).reshape(7 * n, 3)
 
     cd = _compute_dtype(cfg)
-    h = _mlp_head(params, cfg, feats.reshape(7 * n, -1), xyz_in)
+    h = _mlp_head(params, cfg,
+                  [f.reshape(7 * n, f.shape[-1]) for f in feats], xyz_in)
     h = h.reshape(7, n, -1)
     w1 = params['mlp'][1]['w']
     b1 = params['mlp'][1]['b']

@@ -544,13 +544,32 @@ def compute_rgb_loss(cfg: ShapeRendererConfig, rgb_pr, rgb_gt):
     raise NotImplementedError(cfg.rgb_loss)
 
 
-def compute_occ_alpha(params, cfg: ShapeRendererConfig, pts):
+def compute_occ_alpha(params, cfg: ShapeRendererConfig, pts, packed=None):
     """Alpha at grid cell centers for occupancy updates (ref: 972-993)."""
     aabb = aabb_array(cfg)
-    sdf = tenso_sdf.sdf_only(params['sdf'], cfg.sdf, pts, aabb)[:, 0]
+    sdf = tenso_sdf.sdf_only(params['sdf'], cfg.sdf, pts, aabb,
+                             packed=packed)[:, 0]
     inv_s = jnp.clip(mlp.apply_variance(params['deviation'], cfg.std_act),
                      1e-6, 1e6)
     return composite.neus_alpha_isotropic(sdf, inv_s, step_size(cfg))
+
+
+def compute_occ_alpha_chunked(params, cfg: ShapeRendererConfig, pts,
+                              chunk: int = 131072):
+    """compute_occ_alpha over a large point set (all occ-grid cell centers,
+    128^3 = 2M) via lax.map chunks: the packed-atlas gather materializes
+    [N, rows, C] per evaluation, so a single-shot 2M-point call would
+    allocate tens of GB. The field atlas is packed once and reused."""
+    n = pts.shape[0]
+    if n <= chunk:
+        return compute_occ_alpha(params, cfg, pts)
+    packed = tenso_sdf.pack_field(params['sdf'], cfg.sdf)
+    pad = (-n) % chunk
+    pts_p = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+    out = jax.lax.map(
+        lambda p: compute_occ_alpha(params, cfg, p, packed=packed),
+        pts_p.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:n]
 
 
 def compute_grid_alpha(params, cfg: ShapeRendererConfig, pts,

@@ -306,35 +306,44 @@ def pack_vm_field(field: FieldParams, n_levels: int = 1,
     return PackedVMField(buf, meta)
 
 
-def _bilinear_idx_wts(base, h, w, ut, vt):
-    """Indices+weights of a clamped bilinear lookup at continuous texel
-    coords (ut, vt).  base/h/w: scalars or arrays broadcastable to ut.
-    Returns (idx [..., 4] int32, wts [..., 4] f32)."""
+def _take_rows(buffer, idx):
+    """One row gather [N] -> [N, C] f32.
+
+    TPU layout note (round-2 HLO finding): a SINGLE fused gather of
+    [N*rows] indices forces XLA to relayout/transpose the [N*rows, C]
+    result (a GB-scale while-loop copy). Many small [N]-index gathers,
+    each consumed in row-major layout by weighted sums and split-K
+    matmuls, never transpose — ~0.5ns/row measured on v5e."""
+    return jnp.take(buffer, idx, axis=0, mode='clip').astype(jnp.float32)
+
+
+def _bilinear_take(buffer, base, h, w, ut, vt):
+    """Clamped bilinear lookup on the atlas at continuous texel coords.
+    base/h/w: python ints or [N] arrays (dynamic mip). -> [N, C] f32."""
     u0 = jnp.floor(ut)
     v0 = jnp.floor(vt)
-    fu = ut - u0
-    fv = vt - v0
+    fu = (ut - u0)[:, None]
+    fv = (vt - v0)[:, None]
     u0i = jnp.clip(u0.astype(jnp.int32), 0, h - 1)
     u1i = jnp.clip(u0.astype(jnp.int32) + 1, 0, h - 1)
     v0i = jnp.clip(v0.astype(jnp.int32), 0, w - 1)
     v1i = jnp.clip(v0.astype(jnp.int32) + 1, 0, w - 1)
-    idx = jnp.stack([base + u0i * w + v0i, base + u0i * w + v1i,
-                     base + u1i * w + v0i, base + u1i * w + v1i], axis=-1)
-    wts = jnp.stack([(1 - fu) * (1 - fv), (1 - fu) * fv,
-                     fu * (1 - fv), fu * fv], axis=-1)
-    return idx, wts
+    r00 = _take_rows(buffer, base + u0i * w + v0i)
+    r01 = _take_rows(buffer, base + u0i * w + v1i)
+    r10 = _take_rows(buffer, base + u1i * w + v0i)
+    r11 = _take_rows(buffer, base + u1i * w + v1i)
+    return ((1 - fu) * ((1 - fv) * r00 + fv * r01)
+            + fu * ((1 - fv) * r10 + fv * r11))
 
 
-def _linear_idx_wts(base, l, xt):
-    """Indices+weights of a clamped linear lookup at continuous texel coord
-    xt.  Returns (idx [..., 2], wts [..., 2])."""
+def _linear_take(buffer, base, l, xt):
+    """Clamped linear lookup on the atlas. -> [N, C] f32."""
     x0 = jnp.floor(xt)
-    f = xt - x0
+    f = (xt - x0)[:, None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, l - 1)
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, l - 1)
-    idx = jnp.stack([base + x0i, base + x1i], axis=-1)
-    wts = jnp.stack([1 - f, f], axis=-1)
-    return idx, wts
+    return ((1 - f) * _take_rows(buffer, base + x0i)
+            + f * _take_rows(buffer, base + x1i))
 
 
 def _level_branches(meta: PackedMeta, level, n):
@@ -355,88 +364,89 @@ def _tables(vals_per_level):
     return jnp.asarray(vals_per_level, jnp.int32)
 
 
-def _gather_rows(buffer, idx):
-    """One row gather; idx [...]; returns [..., C] f32."""
-    rows = jnp.take(buffer, idx.reshape(-1), axis=0, mode='clip')
-    return rows.reshape(idx.shape + (buffer.shape[-1],)).astype(jnp.float32)
+def _plane_params(meta: PackedMeta, i: int, l0):
+    """(base, h, w, hf, wf) for plane i at mip l0 (int or [N] array)."""
+    if isinstance(l0, int):
+        h, w = meta.plane_shapes[i][l0]
+        return meta.plane_offsets[i][l0], h, w, float(h), float(w)
+    h = jnp.take(_tables([s[0] for s in meta.plane_shapes[i]]), l0)
+    w = jnp.take(_tables([s[1] for s in meta.plane_shapes[i]]), l0)
+    base = jnp.take(_tables(meta.plane_offsets[i]), l0)
+    return base, h, w, h.astype(jnp.float32), w.astype(jnp.float32)
 
 
-def vm_features_packed(packed: PackedVMField, xyz01, level=None):
-    """vm_features on the packed atlas: [N,3] -> [N, 3C].
+def _line_params(meta: PackedMeta, i: int, l0):
+    """(base, l, lf) for line i at mip l0 (int or [N] array)."""
+    if isinstance(l0, int):
+        ln = meta.line_lens[i][l0]
+        return meta.line_offsets[i][l0], ln, float(ln)
+    ln = jnp.take(_tables(meta.line_lens[i]), l0)
+    base = jnp.take(_tables(meta.line_offsets[i]), l0)
+    return base, ln, ln.astype(jnp.float32)
 
-    Matches vm_features (same texel/mip conventions) with one fused gather
-    per mip branch instead of 9 separate texture lookups."""
+
+def vm_features_split(packed: PackedVMField, xyz01, level=None):
+    """vm_features on the packed atlas, kept SPLIT per plane/line pair.
+
+    Returns a list of 3 arrays [N, C] (plane_i(u,v) * line_i(w), mip
+    blended per texture first). Keeping the three products separate lets
+    the SDF MLP consume them as split-K matmuls — concatenating [N, C]
+    tensors in the lane dimension costs relayout copies on TPU.
+    """
     meta = packed.meta
     xyz01 = jax.lax.stop_gradient(xyz01)
     n = xyz01.shape[0]
     if level is not None:
         level = jax.lax.stop_gradient(level)
     cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
-
-    out = None
+    P = [None, None, None]
+    L = [None, None, None]
     for l0, mw in _level_branches(meta, level, n):
-        idx_parts, wts_parts = [], []
+        mwc = None if mw is None else mw[:, None]
         for i in range(3):
-            u01 = cols[MAT_MODE[i][0]]
-            v01 = cols[MAT_MODE[i][1]]
-            if isinstance(l0, int):
-                h, w = meta.plane_shapes[i][l0]
-                base = meta.plane_offsets[i][l0]
-            else:
-                h = jnp.take(_tables([s[0] for s in meta.plane_shapes[i]]),
-                             l0)
-                w = jnp.take(_tables([s[1] for s in meta.plane_shapes[i]]),
-                             l0)
-                base = jnp.take(_tables(meta.plane_offsets[i]), l0)
-            hf = h if isinstance(l0, int) else h.astype(jnp.float32)
-            wf = w if isinstance(l0, int) else w.astype(jnp.float32)
-            idx, wts = _bilinear_idx_wts(base, h, w, u01 * hf - 0.5,
-                                         v01 * wf - 0.5)
-            idx_parts.append(idx)
-            wts_parts.append(wts)
-        for i in range(3):
-            x01 = cols[VEC_MODE[i]]
-            if isinstance(l0, int):
-                ln = meta.line_lens[i][l0]
-                base = meta.line_offsets[i][l0]
-            else:
-                ln = jnp.take(_tables(meta.line_lens[i]), l0)
-                base = jnp.take(_tables(meta.line_offsets[i]), l0)
-            lf = ln if isinstance(l0, int) else ln.astype(jnp.float32)
-            idx, wts = _linear_idx_wts(base, ln, x01 * lf - 0.5)
-            idx_parts.append(idx)
-            wts_parts.append(wts)
-
-        idx = jnp.concatenate(idx_parts, axis=-1)       # [N, 18]
-        wts = jnp.concatenate(wts_parts, axis=-1)
-        rows = _gather_rows(packed.buffer, idx)         # [N, 18, C]
-        vals = rows * wts[..., None]
-        planes = vals[:, :12].reshape(n, 3, 4, -1).sum(axis=2)   # [N,3,C]
-        lines = vals[:, 12:].reshape(n, 3, 2, -1).sum(axis=2)    # [N,3,C]
-        # mip semantics: blend each TEXTURE across levels first, multiply
-        # after (dr.texture trilinear filtering, matching vm_features —
-        # blend-of-products is NOT equivalent)
-        if mw is not None:
-            planes = planes * mw[:, None, None]
-            lines = lines * mw[:, None, None]
-        if out is None:
-            out = (planes, lines)
-        else:
-            out = (out[0] + planes, out[1] + lines)
-    return (out[0] * out[1]).reshape(n, -1)
+            base, h, w, hf, wf = _plane_params(meta, i, l0)
+            p = _bilinear_take(packed.buffer, base, h, w,
+                               cols[MAT_MODE[i][0]] * hf - 0.5,
+                               cols[MAT_MODE[i][1]] * wf - 0.5)
+            base, ln, lf = _line_params(meta, i, l0)
+            ll = _linear_take(packed.buffer, base, ln,
+                              cols[VEC_MODE[i]] * lf - 0.5)
+            if mwc is not None:
+                p = p * mwc
+                ll = ll * mwc
+            P[i] = p if P[i] is None else P[i] + p
+            L[i] = ll if L[i] is None else L[i] + ll
+    return [P[i] * L[i] for i in range(3)]
 
 
-def vm_stencil_features(packed: PackedVMField, xyz01, delta01, level=None):
-    """Features for the 7-point FD stencil with deduplicated lookups.
+def vm_features_packed(packed: PackedVMField, xyz01, level=None):
+    """vm_features on the packed atlas: [N,3] -> [N, 3C] (concat form;
+    prefer vm_features_split in hot paths — the concat relayouts)."""
+    return jnp.concatenate(vm_features_split(packed, xyz01, level), -1)
+
+
+# stencil-point -> (plane-variant, line-variant) table.  Plane lookup
+# variants: [center, u+, u-, v+, v-]; line variants: [center, x+, x-].
+# Stencil order [center, +x, -x, +y, -y, +z, -z] matches
+# fields/tenso_sdf offsets.
+_PLANE_SHIFTS = ((0.0, 0.0), (1.0, 0.0), (-1.0, 0.0), (0.0, 1.0),
+                 (0.0, -1.0))
+_LINE_SHIFTS = (0.0, 1.0, -1.0)
+_STENCIL = ((None, 0), (0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1))
+
+
+def vm_stencil_features_split(packed: PackedVMField, xyz01, delta01,
+                              level=None):
+    """Per-plane features for the 7-point FD stencil, deduplicated.
 
     xyz01 [N,3] contracted coords; delta01 [3] static per-axis offsets in
-    contracted units (= 1/(grid_size-1)).  Stencil order:
-    [center, +x, -x, +y, -y, +z, -z] (matching fields/tenso_sdf offsets).
+    contracted units (= 1/(grid_size-1)).
 
     The 7 stencil points share texture neighborhoods: per plane only 5
-    distinct bilinear lookups exist (center, ±u, ±v) and per line only 3
-    (center, ±x) — 60+18 gather rows/sample instead of the naive 7x18=126.
-    Returns [7, N, 3C] (stencil-major so the center slice is contiguous).
+    distinct bilinear lookups exist (center, +-u, +-v) and per line only 3
+    (center, +-x) — 60+18 gathered rows/sample instead of the naive
+    7x18=126.  Returns a list of 3 arrays [7, N, C] (stencil-major;
+    reshape to [7N, C] is free row-major) for split-K MLP consumption.
     """
     meta = packed.meta
     xyz01 = jax.lax.stop_gradient(xyz01)
@@ -445,86 +455,40 @@ def vm_stencil_features(packed: PackedVMField, xyz01, delta01, level=None):
         level = jax.lax.stop_gradient(level)
     cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
     d01 = [float(delta01[0]), float(delta01[1]), float(delta01[2])]
-    # lookup-variant shift multipliers: [c, u+, u-, v+, v-]
-    su = jnp.asarray([0.0, 1.0, -1.0, 0.0, 0.0])
-    sv = jnp.asarray([0.0, 0.0, 0.0, 1.0, -1.0])
-    sx = jnp.asarray([0.0, 1.0, -1.0])
 
-    P = [None, None, None]   # per plane: [N, 5, C]
-    L = [None, None, None]   # per line:  [N, 3, C]
+    P = [[None] * 5 for _ in range(3)]   # per plane: 5 lookup variants
+    L = [[None] * 3 for _ in range(3)]   # per line: 3 lookup variants
     for l0, mw in _level_branches(meta, level, n):
-        idx_parts, wts_parts = [], []
+        mwc = None if mw is None else mw[:, None]
         for i in range(3):
             a, b = MAT_MODE[i]
-            if isinstance(l0, int):
-                h, w = meta.plane_shapes[i][l0]
-                base = meta.plane_offsets[i][l0]
-                hf, wf = float(h), float(w)
-            else:
-                h = jnp.take(_tables([s[0] for s in meta.plane_shapes[i]]),
-                             l0)
-                w = jnp.take(_tables([s[1] for s in meta.plane_shapes[i]]),
-                             l0)
-                base = jnp.take(_tables(meta.plane_offsets[i]), l0)
-                hf, wf = h.astype(jnp.float32), w.astype(jnp.float32)
-            ut0 = cols[a] * hf - 0.5                    # [N]
+            base, h, w, hf, wf = _plane_params(meta, i, l0)
+            ut0 = cols[a] * hf - 0.5
             vt0 = cols[b] * wf - 0.5
-            dut = d01[a] * hf                           # [N] or scalar
+            dut = d01[a] * hf
             dvt = d01[b] * wf
-            ut = ut0[:, None] + su[None, :] * (
-                dut[:, None] if not isinstance(l0, int) else dut)
-            vt = vt0[:, None] + sv[None, :] * (
-                dvt[:, None] if not isinstance(l0, int) else dvt)
-            hb = h[:, None] if not isinstance(l0, int) else h
-            wb = w[:, None] if not isinstance(l0, int) else w
-            bb = base[:, None] if not isinstance(l0, int) else base
-            idx, wts = _bilinear_idx_wts(bb, hb, wb, ut, vt)  # [N,5,4]
-            idx_parts.append(idx.reshape(n, 20))
-            wts_parts.append(wts.reshape(n, 20))
-        for i in range(3):
+            for vi, (su, sv) in enumerate(_PLANE_SHIFTS):
+                p = _bilinear_take(packed.buffer, base, h, w,
+                                   ut0 + su * dut, vt0 + sv * dvt)
+                if mwc is not None:
+                    p = p * mwc
+                P[i][vi] = p if P[i][vi] is None else P[i][vi] + p
             c = VEC_MODE[i]
-            if isinstance(l0, int):
-                ln = meta.line_lens[i][l0]
-                base = meta.line_offsets[i][l0]
-                lf = float(ln)
-            else:
-                ln = jnp.take(_tables(meta.line_lens[i]), l0)
-                base = jnp.take(_tables(meta.line_offsets[i]), l0)
-                lf = ln.astype(jnp.float32)
+            base, ln, lf = _line_params(meta, i, l0)
             xt0 = cols[c] * lf - 0.5
             dxt = d01[c] * lf
-            xt = xt0[:, None] + sx[None, :] * (
-                dxt[:, None] if not isinstance(l0, int) else dxt)
-            lb = ln[:, None] if not isinstance(l0, int) else ln
-            bb = base[:, None] if not isinstance(l0, int) else base
-            idx, wts = _linear_idx_wts(bb, lb, xt)            # [N,3,2]
-            idx_parts.append(idx.reshape(n, 6))
-            wts_parts.append(wts.reshape(n, 6))
+            for vi, sx in enumerate(_LINE_SHIFTS):
+                ll = _linear_take(packed.buffer, base, ln, xt0 + sx * dxt)
+                if mwc is not None:
+                    ll = ll * mwc
+                L[i][vi] = ll if L[i][vi] is None else L[i][vi] + ll
 
-        idx = jnp.concatenate(idx_parts, axis=-1)       # [N, 78]
-        wts = jnp.concatenate(wts_parts, axis=-1)
-        rows = _gather_rows(packed.buffer, idx)         # [N, 78, C]
-        vals = rows * wts[..., None]
-        for i in range(3):
-            p = vals[:, 20 * i:20 * (i + 1)].reshape(n, 5, 4, -1).sum(2)
-            lvals = vals[:, 60 + 6 * i:60 + 6 * (i + 1)]
-            ll = lvals.reshape(n, 3, 2, -1).sum(2)
-            if mw is not None:
-                p = p * mw[:, None, None]
-                ll = ll * mw[:, None, None]
-            P[i] = p if P[i] is None else P[i] + p
-            L[i] = ll if L[i] is None else L[i] + ll
-
-    # assemble the 7 stencil points from the deduplicated lookups
-    # plane variant index: [c, a+, a-, b+, b-]; line: [c, x+, x-]
-    stencil = [(None, 0), (0, +1), (0, -1), (1, +1), (1, -1), (2, +1),
-               (2, -1)]
-    feats = []
-    for d, sign in stencil:
-        per_plane = []
-        for i in range(3):
-            a, b = MAT_MODE[i]
-            c = VEC_MODE[i]
+    out = []
+    for i in range(3):
+        a, b = MAT_MODE[i]
+        c = VEC_MODE[i]
+        feats = []
+        for d, sign in _STENCIL:
             pi, li = 0, 0
             if d == a:
                 pi = 1 if sign > 0 else 2
@@ -532,9 +496,15 @@ def vm_stencil_features(packed: PackedVMField, xyz01, delta01, level=None):
                 pi = 3 if sign > 0 else 4
             elif d == c:
                 li = 1 if sign > 0 else 2
-            per_plane.append(P[i][:, pi] * L[i][:, li])
-        feats.append(jnp.concatenate(per_plane, axis=-1))
-    return jnp.stack(feats, axis=0)                     # [7, N, 3C]
+            feats.append(P[i][pi] * L[i][li])
+        out.append(jnp.stack(feats, axis=0))            # [7, N, C]
+    return out
+
+
+def vm_stencil_features(packed: PackedVMField, xyz01, delta01, level=None):
+    """Concat form of vm_stencil_features_split: [7, N, 3C]."""
+    return jnp.concatenate(
+        vm_stencil_features_split(packed, xyz01, delta01, level), axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -252,7 +252,7 @@ class ShapeTrainer:
             cell = (occ_cfg.aabb_max - occ_cfg.aabb_min) / occ_cfg.resolution
             jitter = (jax.random.uniform(rng, centers.shape) - 0.5) * cell
             pts = centers + jitter
-            alphas = sr.compute_occ_alpha(params, rcfg, pts)
+            alphas = sr.compute_occ_alpha_chunked(params, rcfg, pts)
             return grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, step)
 
         self._compiled[key] = occ_update
