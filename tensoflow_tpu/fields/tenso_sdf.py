@@ -37,6 +37,10 @@ class SDFConfig(NamedTuple):
     # 'float32' | 'bfloat16': storage dtype for the gather hot path
     # (params stay f32 for Adam; cast once per step)
     gather_dtype: str = 'float32'
+    # 'auto' | 'xla' | 'pallas': stencil MLP-head implementation.
+    # auto = fused Pallas kernel on TPU, XLA elsewhere; 'pallas' on a
+    # non-TPU backend runs the kernel in interpret mode (tests).
+    stencil_impl: str = 'auto'
 
 
 def units(cfg: SDFConfig, aabb) -> jnp.ndarray:
@@ -169,10 +173,8 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
     eps = units(cfg, aabb)                      # [3] world units (traced)
     d01 = _stencil_delta01(cfg)
     xyz01 = contraction(xyz, aabb)
-    # list of 3 arrays [7, N, C] (dedup'ed lookups, split per plane)
-    feats = tfield.vm_stencil_features_split(packed, xyz01, d01, level)
 
-    # embedded coords of the 7 stencil points
+    # embedded coords of the 7 stencil points, stencil-major [7, N, E]
     offs01 = np.zeros((7, 3), np.float32)
     for a in range(3):
         offs01[1 + 2 * a, a] = d01[a]
@@ -183,26 +185,51 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
         else:
             offs_w = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
             pe_in = xyz[None] + offs_w[:, None, :]
-        xyz_in = positional_encoding(pe_in.reshape(7 * n, 3),
-                                     cfg.sdf_multires)
+        xyz_in = positional_encoding(pe_in, cfg.sdf_multires)
     else:
         offs_w = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
-        xyz_in = (xyz[None] + offs_w[:, None, :]).reshape(7 * n, 3)
+        xyz_in = xyz[None] + offs_w[:, None, :]
 
     cd = _compute_dtype(cfg)
-    h = _mlp_head(params, cfg,
-                  [f.reshape(7 * n, f.shape[-1]) for f in feats], xyz_in)
-    h = h.reshape(7, n, -1)
     w1 = params['mlp'][1]['w']
     b1 = params['mlp'][1]['b']
-    # center point: full head (sdf + appearance features)
-    out_c = _dot_f32(h[0].astype(cd), w1.astype(cd)) + b1
-    sdf = out_c[:, 0]
-    app = out_c[:, 1:]
-    # offset points: only the sdf column (45% fewer layer-1 FLOPs)
-    s_off = _dot_f32(h[1:].reshape(6 * n, -1).astype(cd),
-                     w1[:, :1].astype(cd))[:, 0] + b1[0]
-    s = s_off.reshape(3, 2, n)                  # [axis, (+,-), N]
+
+    impl = cfg.stencil_impl
+    if impl == 'auto':
+        # the fused kernel currently trails the split-form XLA path on TPU
+        # (45 vs 35 ms fwd at 131k) and its bwd lane-padding OOMs scoped
+        # VMEM in full train steps — keep XLA until the packed redesign
+        impl = 'xla'
+    if impl == 'pallas':
+        from ..ops import pallas_stencil
+        P, L = tfield.vm_stencil_variants(packed, xyz01, d01, level)
+        C = cfg.n_comp
+        w0 = params['mlp'][0]['w']
+        w0_parts = (w0[:C], w0[C:2 * C], w0[2 * C:3 * C], w0[3 * C:])
+        interpret = jax.default_backend() != 'tpu'
+        out_c, s_off6 = pallas_stencil.stencil_head(
+            [p.astype(cd) for row in P for p in row],
+            [l.astype(cd) for row in L for l in row],
+            xyz_in, w0_parts, params['mlp'][0]['b'], w1, b1,
+            interpret=interpret)
+        sdf = out_c[:, 0]
+        app = out_c[:, 1:]
+        s = s_off6.reshape(3, 2, n)             # [axis, (+,-), N]
+    else:
+        # list of 3 arrays [7, N, C] (dedup'ed lookups, split per plane)
+        feats = tfield.vm_stencil_features_split(packed, xyz01, d01, level)
+        h = _mlp_head(params, cfg,
+                      [f.reshape(7 * n, f.shape[-1]) for f in feats],
+                      xyz_in.reshape(7 * n, -1))
+        h = h.reshape(7, n, -1)
+        # center point: full head (sdf + appearance features)
+        out_c = _dot_f32(h[0].astype(cd), w1.astype(cd)) + b1
+        sdf = out_c[:, 0]
+        app = out_c[:, 1:]
+        # offset points: only the sdf column (45% fewer layer-1 FLOPs)
+        s_off = _dot_f32(h[1:].reshape(6 * n, -1).astype(cd),
+                         w1[:, :1].astype(cd))[:, 0] + b1[0]
+        s = s_off.reshape(3, 2, n)              # [axis, (+,-), N]
     grad = ((s[:, 0] - s[:, 1]) / (2.0 * eps[:, None])).T
     if with_hessian:
         hess = ((s[:, 0] + s[:, 1] - 2.0 * sdf[None, :]) / (

@@ -435,9 +435,8 @@ _LINE_SHIFTS = (0.0, 1.0, -1.0)
 _STENCIL = ((None, 0), (0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1))
 
 
-def vm_stencil_features_split(packed: PackedVMField, xyz01, delta01,
-                              level=None):
-    """Per-plane features for the 7-point FD stencil, deduplicated.
+def vm_stencil_variants(packed: PackedVMField, xyz01, delta01, level=None):
+    """Deduplicated texture lookups for the 7-point FD stencil.
 
     xyz01 [N,3] contracted coords; delta01 [3] static per-axis offsets in
     contracted units (= 1/(grid_size-1)).
@@ -445,8 +444,9 @@ def vm_stencil_features_split(packed: PackedVMField, xyz01, delta01,
     The 7 stencil points share texture neighborhoods: per plane only 5
     distinct bilinear lookups exist (center, +-u, +-v) and per line only 3
     (center, +-x) — 60+18 gathered rows/sample instead of the naive
-    7x18=126.  Returns a list of 3 arrays [7, N, C] (stencil-major;
-    reshape to [7N, C] is free row-major) for split-K MLP consumption.
+    7x18=126.  Returns (P, L): P[i][vi] [N, C] for plane i and variant vi
+    in _PLANE_SHIFTS order; L[i][vi] likewise over _LINE_SHIFTS.  Each is
+    mip-blended (product-of-blends happens downstream).
     """
     meta = packed.meta
     xyz01 = jax.lax.stop_gradient(xyz01)
@@ -482,7 +482,17 @@ def vm_stencil_features_split(packed: PackedVMField, xyz01, delta01,
                 if mwc is not None:
                     ll = ll * mwc
                 L[i][vi] = ll if L[i][vi] is None else L[i][vi] + ll
+    return P, L
 
+
+def vm_stencil_features_split(packed: PackedVMField, xyz01, delta01,
+                              level=None):
+    """Per-plane features for the 7-point FD stencil, deduplicated.
+
+    Returns a list of 3 arrays [7, N, C] (stencil-major; reshape to
+    [7N, C] is free row-major) for split-K MLP consumption.
+    """
+    P, L = vm_stencil_variants(packed, xyz01, delta01, level)
     out = []
     for i in range(3):
         a, b = MAT_MODE[i]
