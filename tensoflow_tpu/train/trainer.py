@@ -164,6 +164,7 @@ class ShapeTrainer:
         self.start_step = 0
         self.best_para = 0.0
         self.tx, self.opt_state = make_optimizer(cfg, self.params, 0)
+        self.opt_reset_step = 0
         self._compiled = {}
         self.occ_update_interval = 100
 
@@ -273,6 +274,7 @@ class ShapeTrainer:
         self.params = {**self.params, 'sdf': new_sdf}
         self.rcfg = self.rcfg._replace(sdf=new_sdf_cfg)
         self.tx, self.opt_state = make_optimizer(self.cfg, self.params, step)
+        self.opt_reset_step = step
         self._compiled = {}
         if self.mesh is not None:
             self.params = sharding.replicate_tree(self.mesh, self.params)
@@ -350,6 +352,8 @@ class ShapeTrainer:
             'params': self.params,
             'opt_state': self.opt_state,
             'occ_state': self.occ_state,
+            'alpha_mask': checkpoints.pack_alpha_mask(self.alpha_mask),
+            'opt_reset_step': self.opt_reset_step,
             'N_voxel_list': self.n_voxel_list,
             'kwargs': {
                 'grid_size': list(self.rcfg.sdf.grid_size),
@@ -372,8 +376,21 @@ class ShapeTrainer:
         self.n_voxel_list = ckpt['N_voxel_list']
         self.start_step = ckpt['step']
         self.best_para = ckpt.get('best_para', 0.0)
+        self.alpha_mask = checkpoints.unpack_alpha_mask(
+            ckpt.get('alpha_mask'))
+        # restore Adam moments + schedule count against the ORIGINAL reset
+        # step (ref: trainer_inv.py:108-113); any shape mismatch falls back
+        # to a fresh optimizer rebased at the resume step
+        reset = ckpt.get('opt_reset_step', self.start_step)
         self.tx, self.opt_state = make_optimizer(self.cfg, self.params,
-                                                 self.start_step)
+                                                 reset)
+        self.opt_state, ok = checkpoints.restore_opt_state(
+            ckpt.get('opt_state'), self.opt_state)
+        if not ok:
+            reset = self.start_step
+            self.tx, self.opt_state = make_optimizer(
+                self.cfg, self.params, reset)
+        self.opt_reset_step = reset
         self._compiled = {}
 
     # ------------------------------------------------------------------

@@ -288,8 +288,23 @@ class MaterialTrainer:
         self.params = restored
         self.start_step = ckpt['step']
         self.best_para = ckpt.get('best_para', 0.0)
-        self.tx, self.opt_state = make_mat_optimizer(
-            self.cfg, self.params, self.start_step)
+        # stage-2 never reshapes params: restore the Adam moments +
+        # schedule count against reset_step=0 (ref: trainer_inv.py:108-113)
+        self.tx, self.opt_state = make_mat_optimizer(self.cfg, self.params,
+                                                     0)
+        self.opt_state, ok = checkpoints.restore_opt_state(
+            ckpt.get('opt_state'), self.opt_state)
+        if not ok:
+            self.tx, self.opt_state = make_mat_optimizer(
+                self.cfg, self.params, self.start_step)
+        elif reset_flows:
+            # flow params were re-initialized above — their restored
+            # moments refer to the discarded weights; zero them
+            self.opt_state = jax.tree_util.tree_map_with_path(
+                lambda path, x: (jnp.zeros_like(x)
+                                 if "'flow" in jax.tree_util.keystr(path)
+                                 and jnp.ndim(x) > 0 else x),
+                self.opt_state)
         self._compiled = {}
 
     # ------------------------------------------------------------------

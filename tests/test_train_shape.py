@@ -115,6 +115,69 @@ def test_checkpoint_resume_after_upsample(tmp_path):
 
 
 @pytest.mark.slow
+def test_resume_step_bitwise(tmp_path):
+    """The first post-resume step equals the would-have-been step bitwise:
+    load() must restore the Adam moments and schedule count, not re-init
+    them (ref: trainer_inv.py:108-113)."""
+    from tensoflow_tpu.train import losses
+    cfg = tiny_cfg()
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    trainer.train(n_steps=5, log_every=5)
+    path = str(tmp_path / 'model.pkl')
+    trainer.save(path)
+
+    step = trainer.start_step
+    batch = trainer.batcher.next_batch()
+    weights = losses.schedule_weights(cfg, step)
+    rng = jax.random.PRNGKey(123)
+    key = (trainer.rcfg, *trainer.phase_flags(step), False)
+
+    t2 = ShapeTrainer(cfg)
+    t2.load(path)
+    p2, o2, _ = t2._get_step_fn(key)(
+        t2.params, t2.opt_state, t2.occ_state, batch, step, weights,
+        rng, None)
+    p1, o1, _ = trainer._get_step_fn(key)(
+        trainer.params, trainer.opt_state, trainer.occ_state, batch, step,
+        weights, rng, None)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_alpha_mask_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from tensoflow_tpu.ops import grid as grid_mod
+    from tensoflow_tpu.train import checkpoints
+    rng = np.random.RandomState(0)
+    mask = grid_mod.AlphaGridMask(
+        aabb=jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]),
+        volume=jnp.asarray((rng.rand(9, 7, 5) > 0.5).astype(np.float32)))
+    payload = checkpoints.pack_alpha_mask(mask)
+    assert payload['bits'].nbytes < mask.volume.size  # actually packed
+    back = checkpoints.unpack_alpha_mask(payload)
+    np.testing.assert_array_equal(np.asarray(back.volume),
+                                  np.asarray(mask.volume))
+    np.testing.assert_array_equal(np.asarray(back.aabb),
+                                  np.asarray(mask.aabb))
+    assert checkpoints.pack_alpha_mask(None) is None
+    assert checkpoints.unpack_alpha_mask(None) is None
+
+
+def test_restore_opt_state_shape_gate():
+    from tensoflow_tpu.train import checkpoints
+    fresh = {'mu': np.zeros((4, 3), np.float32), 'count': np.int32(0)}
+    saved = {'mu': np.ones((4, 3), np.float32), 'count': np.int32(7)}
+    out, ok = checkpoints.restore_opt_state(saved, fresh)
+    assert ok and float(np.asarray(out['mu']).sum()) == 12.0
+    bad = {'mu': np.ones((5, 3), np.float32), 'count': np.int32(7)}
+    out, ok = checkpoints.restore_opt_state(bad, fresh)
+    assert not ok and float(np.asarray(out['mu']).sum()) == 0.0
+    out, ok = checkpoints.restore_opt_state(None, fresh)
+    assert not ok
+
+
+@pytest.mark.slow
 def test_predict_bg_training(tmp_path):
     """NeRF++ inverted-sphere background: trains end-to-end and the BG
     color moves from its 0.5 init toward the white toy background.
