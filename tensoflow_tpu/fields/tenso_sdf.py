@@ -44,9 +44,15 @@ class SDFConfig(NamedTuple):
 
 
 def units(cfg: SDFConfig, aabb) -> jnp.ndarray:
-    """Voxel size per axis (ref: fields.py:60)."""
+    """FD stencil step per axis.
+
+    The reference uses aabbSize/(gridSize-1) (ref: fields.py:60); we use
+    aabbSize/gridSize — the same voxel-scale step to <1%, but exactly
+    2^-level plane texels at every mip, which keeps the stencil's
+    shifted bilinear taps inside the 4-slot patch window of the fused
+    kernel (ops/pallas_stencil.py) for all levels."""
     gs = jnp.asarray(cfg.grid_size, jnp.float32)
-    return (aabb[1] - aabb[0]) / (gs - 1.0)
+    return (aabb[1] - aabb[0]) / gs
 
 
 def init_tenso_sdf(rng, cfg: SDFConfig) -> Dict[str, Any]:
@@ -154,8 +160,8 @@ def sdf_only(params, cfg: SDFConfig, xyz, aabb, level=None, packed=None):
 
 def _stencil_delta01(cfg: SDFConfig):
     """Per-axis stencil offset in contracted units: eps/(aabb_hi-aabb_lo)
-    = 1/(grid_size-1) — static (aabb cancels)."""
-    return [1.0 / (g - 1.0) for g in cfg.grid_size]
+    = 1/grid_size — static (aabb cancels; see units() for why /g)."""
+    return [1.0 / g for g in cfg.grid_size]
 
 
 def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
@@ -196,21 +202,24 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
 
     impl = cfg.stencil_impl
     if impl == 'auto':
-        # the fused kernel currently trails the split-form XLA path on TPU
-        # (45 vs 35 ms fwd at 131k) and its bwd lane-padding OOMs scoped
-        # VMEM in full train steps — keep XLA until the packed redesign
-        impl = 'xla'
+        impl = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
     if impl == 'pallas':
         from ..ops import pallas_stencil
-        P, L = tfield.vm_stencil_variants(packed, xyz01, d01, level)
+        # patch atlas: one gathered row per texture per mip branch; the
+        # kernel does the shifted bilinear taps + products + MLP head.
+        # Built from params per call — XLA CSEs repeated builds within a
+        # step program.
+        gd = jnp.bfloat16 if cfg.gather_dtype == 'bfloat16' else None
+        atlas = tfield.pack_vm_patches(params['field'], cfg.n_levels, gd)
+        pp, lp, fr, sigmas = tfield.vm_patch_gather(atlas, xyz01, d01,
+                                                    level)
         C = cfg.n_comp
         w0 = params['mlp'][0]['w']
         w0_parts = (w0[:C], w0[C:2 * C], w0[2 * C:3 * C], w0[3 * C:])
         interpret = jax.default_backend() != 'tpu'
         out_c, s_off6 = pallas_stencil.stencil_head(
-            [p.astype(cd) for row in P for p in row],
-            [l.astype(cd) for row in L for l in row],
-            xyz_in, w0_parts, params['mlp'][0]['b'], w1, b1,
+            [p for row in pp for p in row], [l for row in lp for l in row],
+            fr, sigmas, xyz_in, w0_parts, params['mlp'][0]['b'], w1, b1,
             interpret=interpret)
         sdf = out_c[:, 0]
         app = out_c[:, 1:]

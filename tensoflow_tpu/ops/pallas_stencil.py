@@ -1,30 +1,38 @@
-"""Fused VM-field MLP head kernels (Pallas TPU).
+"""Fused VM-field stencil kernels (Pallas TPU), patch-gather design.
 
-The stencil hot path splits between XLA and Pallas by what each does
-well: XLA performs the atlas row gathers + bilinear weighting (fast,
-~0.5 ns/row on v5e; Mosaic has no arbitrary-row gather), while this
-kernel fuses everything downstream — the per-plane plane*line products,
-the split-K first MLP layer accumulated in VMEM, softplus(beta=100),
-and the second layer with the offset-point sdf-column reduction — into
-one VMEM-resident pass with a custom VJP.  In pure XLA this region
-shatters into dozens of fusions exchanging GB-scale [7N, hidden] f32
-intermediates through HBM (round-2 device trace: ~160 ms of a 200 ms
-stencil fwd+bwd at 131k samples).
+TPU gathers cost ~2.5 ns per gathered row regardless of row width
+(round-2 measurement: the 60+18 rows/sample variant scheme spent ~23 ms
+at 131k samples on gathers alone, dwarfing the ~2 ms of MLP math).  The
+hot path therefore gathers ONE 4x4-texel patch row per texture per mip
+branch (ops/tensor_field.pack_vm_patches / vm_patch_gather — 3 plane +
+3 line rows per sample) and this kernel does everything else on-chip:
 
-Inputs per stencil point s and plane i select one of the deduplicated
-plane lookup variants [center, u+, u-, v+, v-] and line variants
-[center, x+, x-] (see ops/tensor_field.vm_stencil_features_split).
-Point 0 (center) produces the full [1+app_dim] head output; points 1..6
-produce only the sdf column (ref: network/fields.py:227-299).
+  * stencil-shifted clamped-bilinear taps as hat-function (linear
+    B-spline) weights over the patch's static slots — exact for any
+    per-texel shift sigma in [-1, 1], so fractional-mip shifts and the
+    +-1-texel FD stencil share one formulation with NO dynamic slot
+    indexing (see vm_patch_gather for the anchor convention);
+  * per-plane plane*line products packed into 128-lane K slots of one
+    [S*TN, 512] VMEM scratch;
+  * the first MLP layer as a single MXU dot against W0big [512, H]
+    (true K=129 weight rows scattered into matching slots; zero-row
+    K-padding is free — the MXU runs K=128 passes regardless);
+  * softplus(beta=100) and the second layer, with offset stencil points
+    reduced to the sdf column (ref: network/fields.py:227-299).
 
-The backward kernel recomputes z/h per tile (rematerialization — the
-[7N, hidden] activations never exist in HBM) and emits cotangents for
-every P/L variant (product rule), the PE inputs, and all weights.
+The backward kernel recomputes activations per tile (the [7N, hidden]
+intermediates never exist in HBM) and emits patch cotangents (which
+XLA scatter-adds into the atlas — the VJP of the gather) plus all
+weight gradients, accumulated across the sequential grid.
+
+In pure XLA this region shattered into dozens of relayout copies and
+per-variant gathers: 194 ms fwd+bwd at 131k samples vs ~5 ms of
+speed-of-light (61 GFLOP fwd, ~1 GB of traffic).
 """
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,15 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import tensor_field as tfield
 
-# plane lookup variants per (stencil point, plane): indices into the
-# [center, u+, u-, v+, v-] / [center, x+, x-] variant lists.
-N_PVAR = len(tfield._PLANE_SHIFTS)     # 5
-N_LVAR = len(tfield._LINE_SHIFTS)      # 3
+SLOT = 128                              # lane-slot width per K segment
+FS = tfield.FRAC_STRIDE                 # frac lanes per mip branch
+
+# plane lookup variants [center, u+, u-, v+, v-]; line [center, x+, x-]
+_PVAR_SIGN = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+_LVAR_SIGN = (0, 1, -1)
 
 
 def _stencil_mapping() -> Tuple[Tuple[Tuple[int, int], ...], ...]:
     """mapping[s][i] = (plane_variant, line_variant) for stencil point s,
-    plane i — mirrors vm_stencil_features_split's assembly."""
+    plane i — the 7-point FD stencil in ops/tensor_field._STENCIL order."""
     out = []
     for d, sign in tfield._STENCIL:
         row = []
@@ -89,189 +99,328 @@ def _dot_rt(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _hat_terms(frac, sigma, sign):
+    """Hat-function tap weights for a clamped-bilinear lookup shifted by
+    sign*sigma texels.  frac [TN,1] in [0,1); sigma: python float (static
+    mip) or [TN,1] (dynamic).  Returns [(k, weight [TN,1])] with k the
+    patch slot offset in [-1,2] — only statically-possible taps emitted."""
+    if isinstance(sigma, (int, float)):
+        s = float(sigma) * sign
+        r = frac + s if s != 0.0 else frac
+        ks = [k for k in (-1, 0, 1, 2) if s - 1.0 < k < s + 2.0]
+    else:
+        if sign == 0:
+            r = frac
+            ks = [0, 1]
+        else:
+            r = frac + sign * sigma
+            ks = [-1, 0, 1, 2]
+    return [(k, jnp.maximum(0.0, 1.0 - jnp.abs(r - k))) for k in ks]
+
+
+def _plane_tap(slots, fu, fv, su, sv, pv):
+    """One stencil plane variant from the 16 patch slots ([TN,C] f32)."""
+    sgu, sgv = _PVAR_SIGN[pv]
+    acc = None
+    for ku, wu in _hat_terms(fu, su, sgu):
+        for kv, wv in _hat_terms(fv, sv, sgv):
+            t = (wu * wv) * slots[(ku + 1) * 4 + (kv + 1)]
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def _line_tap(slots, fx, sx, lv):
+    acc = None
+    for k, w in _hat_terms(fx, sx, _LVAR_SIGN[lv]):
+        t = w * slots[k + 1]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _variants(P, L, fr, S, B, C, sigmas):
+    """Compute the blended stencil tap values from patch refs.
+
+    P/L: B*3 patch refs ([TN,16C] / [TN,4C]); fr [TN, 2*FS] f32.
+    Returns (PV, LV): 3x5 / 3x3 lists of [TN,C] f32 (only the variants a
+    7-point (or 1-point) stencil needs are materialized)."""
+    n_pv = 5 if S > 1 else 1
+    n_lv = 3 if S > 1 else 1
+    PV = [[None] * n_pv for _ in range(3)]
+    LV = [[None] * n_lv for _ in range(3)]
+    for b in range(B):
+        f = lambda j: fr[:, b * FS + j:b * FS + j + 1]
+        wgt = f(9)
+        for i in range(3):
+            pslots = [P[b * 3 + i][:, s * C:(s + 1) * C].astype(jnp.float32)
+                      for s in range(16)]
+            fu, fv = f(2 * i), f(2 * i + 1)
+            if sigmas[b] is not None:
+                su, sv, _ = sigmas[b][i]
+            else:
+                su, sv = f(10 + 2 * i), f(11 + 2 * i)
+            lslots = [L[b * 3 + i][:, s * C:(s + 1) * C].astype(jnp.float32)
+                      for s in range(4)]
+            fx = f(6 + i)
+            if sigmas[b] is not None:
+                sx = sigmas[b][i][2]
+            else:
+                sx = f(16 + i)
+            for pv in range(n_pv):
+                t = wgt * _plane_tap(pslots, fu, fv, su, sv, pv)
+                PV[i][pv] = t if PV[i][pv] is None else PV[i][pv] + t
+            for lv in range(n_lv):
+                t = wgt * _line_tap(lslots, fx, sx, lv)
+                LV[i][lv] = t if LV[i][lv] is None else LV[i][lv] + t
+    return PV, LV
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, S, mapping, cd, nv):
-    """refs: P(3*n_pvar), L(3*n_lvar), pe [S,TN,E], w0a..c [C,H],
-    w0pe [E,H], b0 [1,H], w1 [H,O], out_c [TN,O], (out_off [S-1,TN])."""
-    n_pvar, n_lvar = nv
-    np_, nl_ = 3 * n_pvar, 3 * n_lvar
-    P = refs[:np_]
-    L = refs[np_:np_ + nl_]
-    pe = refs[np_ + nl_]
-    w0 = refs[np_ + nl_ + 1:np_ + nl_ + 4]
-    w0pe = refs[np_ + nl_ + 4]
-    b0 = refs[np_ + nl_ + 5]
-    w1 = refs[np_ + nl_ + 6]
-    out_c = refs[np_ + nl_ + 7]
-    out_off = refs[np_ + nl_ + 8] if S > 1 else None
+def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
+    """refs in: fr [TN,2FS], P (B*3 [TN,16C]), L (B*3 [TN,4C]),
+    pe [S,TN,E], w0big [4*SLOT,H], b0 [1,H], w1 [H,O], (w1col [H,SLOT]);
+    out: out_c [TN,O] f32, (out_off [(S-1)TN,SLOT] f32); scratch X."""
+    k = 0
+    fr = refs[k]; k += 1
+    P = refs[k:k + 3 * B]; k += 3 * B
+    L = refs[k:k + 3 * B]; k += 3 * B
+    pe = refs[k]; k += 1
+    w0big = refs[k]; k += 1
+    b0 = refs[k]; k += 1
+    w1 = refs[k]; k += 1
+    w1col = None
+    if S > 1:
+        w1col = refs[k]; k += 1
+    out_c = refs[k]; k += 1
+    out_off = None
+    if S > 1:
+        out_off = refs[k]; k += 1
+    X = refs[k]
 
+    PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
+    X[:] = jnp.zeros_like(X)
     for s in range(S):
-        z = None
+        rows = slice(s * TN, (s + 1) * TN)
         for i in range(3):
             pv, lv = mapping[s][i]
-            x = (P[i * n_pvar + pv][:].astype(jnp.float32)
-                 * L[i * n_lvar + lv][:].astype(jnp.float32)).astype(cd)
-            d = _dot(x, w0[i][:])
-            z = d if z is None else z + d
-        z = z + _dot(pe[s], w0pe[:]) + b0[:]
-        h = _softplus100(z).astype(cd)
-        if s == 0:
-            out_c[:] = _dot(h, w1[:])
-        else:
-            out_off[s - 1, :] = _dot(h, w1[:, :1])[:, 0]
-
-
-def _build_fwd(S, N, TN, C, E, H, O, cd, mapping, nv, interpret):
-    np_, nl_ = 3 * nv[0], 3 * nv[1]
-    grid = (N // TN,)
-    row_spec = pl.BlockSpec((TN, C), lambda t: (t, 0),
-                            memory_space=pltpu.VMEM)
-    in_specs = [row_spec] * (np_ + nl_)
-    in_specs.append(pl.BlockSpec((S, TN, E), lambda t: (0, t, 0),
-                                 memory_space=pltpu.VMEM))
-    for shape in [(C, H)] * 3 + [(E, H), (1, H), (H, O)]:
-        in_specs.append(pl.BlockSpec(shape, lambda t: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    out_shapes = [jax.ShapeDtypeStruct((N, O), jnp.float32)]
-    out_specs = [pl.BlockSpec((TN, O), lambda t: (t, 0),
-                              memory_space=pltpu.VMEM)]
+            X[rows, i * SLOT:i * SLOT + C] = (
+                PV[i][pv] * LV[i][lv]).astype(X.dtype)
+        X[rows, 3 * SLOT:3 * SLOT + E] = pe[s].astype(X.dtype)
+    z = _dot(X[:], w0big[:]) + b0[:]            # [S*TN, H] f32
+    h = _softplus100(z).astype(cd)
+    out_c[:] = _dot(h[:TN], w1[:])
     if S > 1:
-        out_shapes.append(jax.ShapeDtypeStruct((S - 1, N), jnp.float32))
-        out_specs.append(pl.BlockSpec((S - 1, TN), lambda t: (0, t),
-                                      memory_space=pltpu.VMEM))
-    kern = functools.partial(_fwd_kernel, S=S, mapping=mapping, cd=cd,
-                             nv=nv)
+        # only lane 0 of w1col is nonzero -> out_off[:, 0] = sdf column
+        out_off[:] = _dot(h[TN:], w1col[:])
+
+
+def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
+    grid = (N // TN,)
+    const = lambda shape: pl.BlockSpec(shape,
+                                       lambda t: tuple(0 for _ in shape))
+    in_specs = [pl.BlockSpec((TN, 2 * FS), lambda t: (t, 0))]
+    in_specs += [pl.BlockSpec((TN, 16 * C), lambda t: (t, 0))] * (3 * B)
+    in_specs += [pl.BlockSpec((TN, 4 * C), lambda t: (t, 0))] * (3 * B)
+    in_specs.append(pl.BlockSpec((S, TN, E), lambda t: (0, t, 0)))
+    in_specs += [const((4 * SLOT, H)), const((1, H)), const((H, O))]
+    if S > 1:
+        in_specs.append(const((H, SLOT)))
+    out_shapes = [jax.ShapeDtypeStruct((N, O), jnp.float32)]
+    out_specs = [pl.BlockSpec((TN, O), lambda t: (t, 0))]
+    if S > 1:
+        out_shapes.append(
+            jax.ShapeDtypeStruct(((S - 1) * N, SLOT), jnp.float32))
+        out_specs.append(pl.BlockSpec(((S - 1) * TN, SLOT),
+                                      lambda t: (t, 0)))
+    kern = functools.partial(_fwd_kernel, S=S, TN=TN, B=B, C=C, E=E,
+                             sigmas=sigmas, mapping=mapping, cd=cd)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shapes, interpret=interpret)
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((S * TN, 4 * SLOT), cd)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(*refs, S, mapping, cd, nv):
-    """Recompute z/h per tile; emit dP/dL/dpe blocks and accumulate
-    weight grads across the (sequential) grid.
-
-    refs in: P(3*n_pvar), L(3*n_lvar), pe, w0a..c, w0pe, b0, w1,
-             g_c [TN,O], (g_off [S-1,TN])
-    refs out: dP, dL, dpe [S,TN,E], dw0a..c [C,H], dw0pe [E,H],
-              db0 [1,H], dw1 [H,O], db1 [1,O]
-    """
-    n_pvar, n_lvar = nv
-    np_, nl_ = 3 * n_pvar, 3 * n_lvar
+def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
+    """Recompute activations per tile; emit patch/pe cotangents and
+    accumulate weight grads across the (sequential) grid."""
     k = 0
-    P = refs[k:k + np_]; k += np_
-    L = refs[k:k + nl_]; k += nl_
+    fr = refs[k]; k += 1
+    P = refs[k:k + 3 * B]; k += 3 * B
+    L = refs[k:k + 3 * B]; k += 3 * B
     pe = refs[k]; k += 1
-    w0 = refs[k:k + 3]; k += 3
-    w0pe = refs[k]; k += 1
+    w0big = refs[k]; k += 1
     b0 = refs[k]; k += 1
     w1 = refs[k]; k += 1
+    w1col = None
+    if S > 1:
+        w1col = refs[k]; k += 1
     g_c = refs[k]; k += 1
     g_off = None
     if S > 1:
         g_off = refs[k]; k += 1
-    dP = refs[k:k + np_]; k += np_
-    dL = refs[k:k + nl_]; k += nl_
+    dP = refs[k:k + 3 * B]; k += 3 * B
+    dL = refs[k:k + 3 * B]; k += 3 * B
     dpe = refs[k]; k += 1
-    dw0 = refs[k:k + 3]; k += 3
-    dw0pe = refs[k]; k += 1
+    dw0big = refs[k]; k += 1
     db0 = refs[k]; k += 1
     dw1 = refs[k]; k += 1
-    db1 = refs[k]; k += 1
+    dw1col = None
+    if S > 1:
+        dw1col = refs[k]; k += 1
+    X = refs[k]; k += 1
+    dX = refs[k]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        for r in list(dw0) + [dw0pe, db0, dw1, db1]:
-            r[:] = jnp.zeros_like(r)
+        dw0big[:] = jnp.zeros_like(dw0big)
+        db0[:] = jnp.zeros_like(db0)
+        dw1[:] = jnp.zeros_like(dw1)
+        if dw1col is not None:
+            dw1col[:] = jnp.zeros_like(dw1col)
 
-    # zero the per-tile P/L cotangent blocks (accumulated over points)
-    dPa = [jnp.zeros(dP[j].shape, jnp.float32) for j in range(np_)]
-    dLa = [jnp.zeros(dL[j].shape, jnp.float32) for j in range(nl_)]
-
+    # recompute forward to the activations
+    PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
+    X[:] = jnp.zeros_like(X)
     for s in range(S):
-        xs = []
-        z = None
+        rows = slice(s * TN, (s + 1) * TN)
         for i in range(3):
             pv, lv = mapping[s][i]
-            x = (P[i * n_pvar + pv][:].astype(jnp.float32)
-                 * L[i * n_lvar + lv][:].astype(jnp.float32)).astype(cd)
-            xs.append(x)
-            d = _dot(x, w0[i][:])
-            z = d if z is None else z + d
-        z = z + _dot(pe[s], w0pe[:]) + b0[:]
-        h = _softplus100(z)
-        hc = h.astype(cd)
-        if s == 0:
-            g = g_c[:]                               # [TN, O]
-            dh = _dot_rt(g.astype(cd), w1[:].astype(cd))   # [TN, H]
-            dw1[:] += _dot_t(hc, g.astype(cd))
-            db1[:] += jnp.sum(g, axis=0, keepdims=True)
-        else:
-            gs = g_off[s - 1, :][:, None]            # [TN, 1]
-            dh = gs * w1[:, :1].astype(jnp.float32).T    # outer product
-            dw1[:, :1] += _dot_t(hc, gs.astype(cd))
-            db1[:, :1] += jnp.sum(gs, axis=0, keepdims=True)
-        dz = (dh * _sig100(z)).astype(cd)            # [TN, H]
-        db0[:] += jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
-        dpe[s] = _dot_rt(dz, w0pe[:].astype(cd)).astype(dpe.dtype)
-        for i in range(3):
-            pv, lv = mapping[s][i]
-            dx = _dot_rt(dz, w0[i][:].astype(cd))    # [TN, C] f32
-            dw0[i][:] += _dot_t(xs[i], dz)
-            pf = P[i * n_pvar + pv][:].astype(jnp.float32)
-            lf = L[i * n_lvar + lv][:].astype(jnp.float32)
-            dPa[i * n_pvar + pv] += dx * lf
-            dLa[i * n_lvar + lv] += dx * pf
-        dw0pe[:] += _dot_t(pe[s].astype(cd), dz)
+            X[rows, i * SLOT:i * SLOT + C] = (
+                PV[i][pv] * LV[i][lv]).astype(X.dtype)
+        X[rows, 3 * SLOT:3 * SLOT + E] = pe[s].astype(X.dtype)
+    z = _dot(X[:], w0big[:]) + b0[:]
+    h = _softplus100(z).astype(cd)
 
-    for j in range(np_):
-        dP[j][:] = dPa[j].astype(dP[j].dtype)
-    for j in range(nl_):
-        dL[j][:] = dLa[j].astype(dL[j].dtype)
-
-
-def _build_bwd(S, N, TN, C, E, H, O, cd, mapping, nv, interpret):
-    np_, nl_ = 3 * nv[0], 3 * nv[1]
-    grid = (N // TN,)
-    row_spec = pl.BlockSpec((TN, C), lambda t: (t, 0),
-                            memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(shape, lambda t: tuple(
-        0 for _ in shape), memory_space=pltpu.VMEM)
-    in_specs = [row_spec] * (np_ + nl_)
-    in_specs.append(pl.BlockSpec((S, TN, E), lambda t: (0, t, 0),
-                                 memory_space=pltpu.VMEM))
-    for shape in [(C, H)] * 3 + [(E, H), (1, H), (H, O)]:
-        in_specs.append(const(shape))
-    in_specs.append(pl.BlockSpec((TN, O), lambda t: (t, 0),
-                                 memory_space=pltpu.VMEM))
+    # second layer backward
+    gc = g_c[:].astype(cd)                      # [TN, O]
+    dw1[:] += _dot_t(h[:TN], gc)
+    dh_c = _dot_rt(gc, w1[:])                   # [TN, H] f32
     if S > 1:
-        in_specs.append(pl.BlockSpec((S - 1, TN), lambda t: (0, t),
-                                     memory_space=pltpu.VMEM))
+        go = g_off[:].astype(cd)                # [(S-1)*TN, SLOT], lane 0
+        dw1col[:] += _dot_t(h[TN:], go)
+        dh_off = _dot_rt(go, w1col[:])          # [(S-1)*TN, H]
+        dh = jnp.concatenate([dh_c, dh_off], axis=0)
+    else:
+        dh = dh_c
+    dz = (dh * _sig100(z)).astype(cd)           # [S*TN, H]
+    db0[:] += jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
+    dw0big[:] += _dot_t(X[:], dz)
+    dX[:] = _dot_rt(dz, w0big[:])               # [S*TN, 4*SLOT] f32
 
-    out_shapes = ([jax.ShapeDtypeStruct((N, C), cd)] * (np_ + nl_)
-                  + [jax.ShapeDtypeStruct((S, N, E), cd)]
-                  + [jax.ShapeDtypeStruct((C, H), jnp.float32)] * 3
-                  + [jax.ShapeDtypeStruct((E, H), jnp.float32),
+    # product rule into the variant cotangents
+    n_pv = 5 if S > 1 else 1
+    n_lv = 3 if S > 1 else 1
+    dPV = [[None] * n_pv for _ in range(3)]
+    dLV = [[None] * n_lv for _ in range(3)]
+    for s in range(S):
+        rows = slice(s * TN, (s + 1) * TN)
+        for i in range(3):
+            pv, lv = mapping[s][i]
+            dxi = dX[rows, i * SLOT:i * SLOT + C]
+            dp = dxi * LV[i][lv]
+            dl = dxi * PV[i][pv]
+            dPV[i][pv] = dp if dPV[i][pv] is None else dPV[i][pv] + dp
+            dLV[i][lv] = dl if dLV[i][lv] is None else dLV[i][lv] + dl
+        dpe[s] = dX[rows, 3 * SLOT:3 * SLOT + E].astype(dpe.dtype)
+
+    # hat weights route variant cotangents back to patch slots
+    for b in range(B):
+        f = lambda j: fr[:, b * FS + j:b * FS + j + 1]
+        wgt = f(9)
+        for i in range(3):
+            fu, fv = f(2 * i), f(2 * i + 1)
+            if sigmas[b] is not None:
+                su, sv, sx = sigmas[b][i]
+            else:
+                su, sv = f(10 + 2 * i), f(11 + 2 * i)
+                sx = f(16 + i)
+            fx = f(6 + i)
+            dpatch = [None] * 16
+            for pv in range(n_pv):
+                if dPV[i][pv] is None:
+                    continue
+                g = wgt * dPV[i][pv]
+                sgu, sgv = _PVAR_SIGN[pv]
+                for ku, wu in _hat_terms(fu, su, sgu):
+                    for kv, wv in _hat_terms(fv, sv, sgv):
+                        sl = (ku + 1) * 4 + (kv + 1)
+                        t = (wu * wv) * g
+                        dpatch[sl] = t if dpatch[sl] is None \
+                            else dpatch[sl] + t
+            dref = dP[b * 3 + i]
+            for sl in range(16):
+                v = dpatch[sl]
+                dref[:, sl * C:(sl + 1) * C] = (
+                    jnp.zeros((TN, C), dref.dtype) if v is None
+                    else v.astype(dref.dtype))
+            dline = [None] * 4
+            for lv in range(n_lv):
+                if dLV[i][lv] is None:
+                    continue
+                g = wgt * dLV[i][lv]
+                for kx, wx in _hat_terms(fx, sx, _LVAR_SIGN[lv]):
+                    t = wx * g
+                    dline[kx + 1] = t if dline[kx + 1] is None \
+                        else dline[kx + 1] + t
+            lref = dL[b * 3 + i]
+            for sl in range(4):
+                v = dline[sl]
+                lref[:, sl * C:(sl + 1) * C] = (
+                    jnp.zeros((TN, C), lref.dtype) if v is None
+                    else v.astype(lref.dtype))
+
+
+def _build_bwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
+    grid = (N // TN,)
+    const = lambda shape: pl.BlockSpec(shape,
+                                       lambda t: tuple(0 for _ in shape))
+    p_spec = pl.BlockSpec((TN, 16 * C), lambda t: (t, 0))
+    l_spec = pl.BlockSpec((TN, 4 * C), lambda t: (t, 0))
+    pe_spec = pl.BlockSpec((S, TN, E), lambda t: (0, t, 0))
+    in_specs = [pl.BlockSpec((TN, 2 * FS), lambda t: (t, 0))]
+    in_specs += [p_spec] * (3 * B) + [l_spec] * (3 * B)
+    in_specs.append(pe_spec)
+    in_specs += [const((4 * SLOT, H)), const((1, H)), const((H, O))]
+    if S > 1:
+        in_specs.append(const((H, SLOT)))
+    in_specs.append(pl.BlockSpec((TN, O), lambda t: (t, 0)))
+    if S > 1:
+        in_specs.append(pl.BlockSpec(((S - 1) * TN, SLOT),
+                                     lambda t: (t, 0)))
+
+    out_shapes = ([jax.ShapeDtypeStruct((N, 16 * C), cd)] * (3 * B)
+                  + [jax.ShapeDtypeStruct((N, 4 * C), cd)] * (3 * B)
+                  + [jax.ShapeDtypeStruct((S, N, E), cd),
+                     jax.ShapeDtypeStruct((4 * SLOT, H), jnp.float32),
                      jax.ShapeDtypeStruct((1, H), jnp.float32),
-                     jax.ShapeDtypeStruct((H, O), jnp.float32),
-                     jax.ShapeDtypeStruct((1, O), jnp.float32)])
-    out_specs = ([row_spec] * (np_ + nl_)
-                 + [pl.BlockSpec((S, TN, E), lambda t: (0, t, 0),
-                                 memory_space=pltpu.VMEM)]
-                 + [const((C, H))] * 3
-                 + [const((E, H)), const((1, H)), const((H, O)),
-                    const((1, O))])
-    kern = functools.partial(_bwd_kernel, S=S, mapping=mapping, cd=cd,
-                             nv=nv)
+                     jax.ShapeDtypeStruct((H, O), jnp.float32)])
+    out_specs = ([p_spec] * (3 * B) + [l_spec] * (3 * B)
+                 + [pe_spec, const((4 * SLOT, H)), const((1, H)),
+                    const((H, O))])
+    if S > 1:
+        out_shapes.append(jax.ShapeDtypeStruct((H, SLOT), jnp.float32))
+        out_specs.append(const((H, SLOT)))
+    kern = functools.partial(_bwd_kernel, S=S, TN=TN, B=B, C=C, E=E,
+                             sigmas=sigmas, mapping=mapping, cd=cd)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
-        out_shape=out_shapes, interpret=interpret)
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((S * TN, 4 * SLOT), cd),
+                        pltpu.VMEM((S * TN, 4 * SLOT), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -285,111 +434,139 @@ def _pad_rows(x, n_pad):
     return jnp.pad(x, pad)
 
 
-def _pad_mid(x, n_pad):
-    if x.shape[1] == n_pad:
-        return x
-    return jnp.pad(x, [(0, 0), (0, n_pad - x.shape[1]), (0, 0)])
+def _w0big(w0_parts, H, cd):
+    """Scatter the layer-0 weight row blocks into 128-row slots."""
+    rows = []
+    for w in w0_parts:                       # 3x [C,H] + [E,H]
+        rows.append(w)
+        if w.shape[0] < SLOT:
+            rows.append(jnp.zeros((SLOT - w.shape[0], H), w.dtype))
+    return jnp.concatenate(rows, axis=0).astype(cd)
+
+
+def _off_expand(out_off, S, n, n_pad, TN):
+    """[(S-1)*n_pad, SLOT] kernel output -> [S-1, n] sdf columns.
+
+    Kernel rows are tile-major: row = t*(S-1)*TN + s*TN + r."""
+    col = out_off[:, 0].reshape(n_pad // TN, S - 1, TN)
+    return jnp.transpose(col, (1, 0, 2)).reshape(S - 1, n_pad)[:, :n]
+
+
+def _off_collapse(g_off, S, n, n_pad, TN):
+    """[S-1, n] cotangent -> [(S-1)*n_pad, SLOT] lane-0 kernel input."""
+    g = jnp.pad(g_off, [(0, 0), (0, n_pad - n)])
+    g = jnp.transpose(g.reshape(S - 1, n_pad // TN, TN), (1, 0, 2))
+    g = g.reshape((S - 1) * n_pad, 1)
+    return jnp.pad(g, [(0, 0), (0, SLOT - 1)]).astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _head(static, P, L, pe, w0s, b0, w1):
-    return _head_fwd(static, P, L, pe, w0s, b0, w1)[0]
+def _head(static, pp, lp, fr, pe, w0_parts, b0, w1):
+    return _head_fwd(static, pp, lp, fr, pe, w0_parts, b0, w1)[0]
 
 
-def _head_fwd(static, P, L, pe, w0s, b0, w1):
-    S, TN, cd_name, nv, interpret = static
+def _prep(static, pp, lp, fr, pe, w0_parts, b0, w1):
+    S, TN, cd_name, B, C, sigmas, interpret = static
     cd = jnp.dtype(cd_name)
-    n = P[0].shape[0]
+    n = fr.shape[0]
     n_pad = -(-n // TN) * TN
-    C = P[0].shape[1]
-    E = pe.shape[-1]
     H = w1.shape[0]
     O = w1.shape[1]
+    E = pe.shape[-1]
     mapping = MAPPING7 if S == 7 else MAPPING1
-    Pp = [_pad_rows(x.astype(cd), n_pad) for x in P]
-    Lp = [_pad_rows(x.astype(cd), n_pad) for x in L]
-    pep = _pad_mid(pe.astype(cd), n_pad)
-    w0c = [w.astype(cd) for w in w0s]
-    b0r = b0.reshape(1, H).astype(jnp.float32)
-    w1c = w1.astype(cd)
-    fwd = _build_fwd(S, n_pad, TN, C, E, H, O, cd, mapping, nv, interpret)
-    outs = fwd(*Pp, *Lp, pep, *w0c, b0r, w1c)
+    args = [_pad_rows(fr.astype(jnp.float32), n_pad)]
+    args += [_pad_rows(x.astype(cd), n_pad) for x in pp]
+    args += [_pad_rows(x.astype(cd), n_pad) for x in lp]
+    pep = pe.astype(cd)
+    if pep.shape[1] != n_pad:
+        pep = jnp.pad(pep, [(0, 0), (0, n_pad - pep.shape[1]), (0, 0)])
+    args.append(pep)
+    args += [_w0big(w0_parts, H, cd),
+             b0.reshape(1, H).astype(jnp.float32), w1.astype(cd)]
     if S > 1:
-        out_c, out_off = outs
-        res = (out_c[:n], out_off[:, :n])
+        w1col = jnp.pad(w1[:, :1], [(0, 0), (0, SLOT - 1)])
+        args.append(w1col.astype(cd))
+    return cd, n, n_pad, E, H, O, mapping, args
+
+
+def _head_fwd(static, pp, lp, fr, pe, w0_parts, b0, w1):
+    S, TN, cd_name, B, C, sigmas, interpret = static
+    cd, n, n_pad, E, H, O, mapping, args = _prep(
+        static, pp, lp, fr, pe, w0_parts, b0, w1)
+    fwd = _build_fwd(S, n_pad, TN, B, C, E, H, O, cd, sigmas, mapping,
+                     interpret)
+    outs = fwd(*args)
+    if S > 1:
+        res = (outs[0][:n], _off_expand(outs[1], S, n, n_pad, TN))
     else:
         res = (outs[0][:n], None)
-    return res, (P, L, pe, w0s, b0, w1)
+    return res, (pp, lp, fr, pe, w0_parts, b0, w1)
 
 
 def _head_bwd(static, residuals, cot):
-    S, TN, cd_name, nv, interpret = static
-    cd = jnp.dtype(cd_name)
-    P, L, pe, w0s, b0, w1 = residuals
+    S, TN, cd_name, B, C, sigmas, interpret = static
+    pp, lp, fr, pe, w0_parts, b0, w1 = residuals
+    cd, n, n_pad, E, H, O, mapping, args = _prep(
+        static, pp, lp, fr, pe, w0_parts, b0, w1)
     g_c, g_off = cot
-    n = P[0].shape[0]
-    n_pad = -(-n // TN) * TN
-    C = P[0].shape[1]
-    E = pe.shape[-1]
-    H = w1.shape[0]
-    O = w1.shape[1]
-    mapping = MAPPING7 if S == 7 else MAPPING1
-    Pp = [_pad_rows(x.astype(cd), n_pad) for x in P]
-    Lp = [_pad_rows(x.astype(cd), n_pad) for x in L]
-    pep = _pad_mid(pe.astype(cd), n_pad)
-    w0c = [w.astype(cd) for w in w0s]
-    b0r = b0.reshape(1, H).astype(jnp.float32)
-    w1c = w1.astype(cd)
-    args = [*Pp, *Lp, pep, *w0c, b0r, w1c,
-            _pad_rows(g_c.astype(jnp.float32), n_pad)]
+    args.append(_pad_rows(g_c.astype(jnp.float32), n_pad))
     if S > 1:
-        g_off_p = jnp.pad(g_off.astype(jnp.float32),
-                          [(0, 0), (0, n_pad - n)])
-        args.append(g_off_p)
-    bwd = _build_bwd(S, n_pad, TN, C, E, H, O, cd, mapping, nv, interpret)
+        args.append(_off_collapse(g_off.astype(jnp.float32), S, n, n_pad,
+                                  TN))
+    bwd = _build_bwd(S, n_pad, TN, B, C, E, H, O, cd, sigmas, mapping,
+                     interpret)
     outs = bwd(*args)
-    np_, nl_ = 3 * nv[0], 3 * nv[1]
     k = 0
-    dP = tuple(outs[k + j][:n].astype(P[j].dtype) for j in range(np_))
-    k += np_
-    dL = tuple(outs[k + j][:n].astype(L[j].dtype) for j in range(nl_))
-    k += nl_
+    dpp = tuple(outs[k + j][:n].astype(pp[j].dtype)
+                for j in range(3 * B))
+    k += 3 * B
+    dlp = tuple(outs[k + j][:n].astype(lp[j].dtype)
+                for j in range(3 * B))
+    k += 3 * B
     dpe = outs[k][:, :n].astype(pe.dtype); k += 1
-    dw0 = tuple(outs[k + j].astype(w0s[j].dtype) for j in range(4)); k += 4
+    dw0big = outs[k]; k += 1
+    dw0 = []
+    for j, w in enumerate(w0_parts):
+        dw0.append(dw0big[j * SLOT:j * SLOT + w.shape[0]].astype(w.dtype))
     db0 = outs[k][0].astype(b0.dtype); k += 1
     dw1 = outs[k].astype(w1.dtype); k += 1
-    # db1 from the kernel's accumulator is not returned separately to the
-    # caller signature; b1 is added OUTSIDE the kernel (see stencil_head).
-    return dP, dL, dpe, dw0, db0, dw1
+    if S > 1:
+        dw1 = dw1.at[:, 0].add(outs[k][:, 0].astype(w1.dtype))
+    dfr = jnp.zeros_like(fr)    # fracs/sigmas are stop-gradient coords
+    return dpp, dlp, dfr, dpe, tuple(dw0), db0, dw1
 
 
 _head.defvjp(_head_fwd, _head_bwd)
 
 
-def stencil_head(P: Sequence, L: Sequence, pe7, w0_parts: Sequence, b0,
-                 w1, b1, tile: int = 256, interpret: bool = False):
-    """7-point stencil MLP head.
+def _static_cfg(S, pp, lp, fr, sigmas, tile, interpret):
+    cd = pp[0].dtype if pp[0].dtype == jnp.bfloat16 else jnp.float32
+    B = len(sigmas)
+    C = pp[0].shape[-1] // 16
+    return (S, tile, jnp.dtype(cd).name, B, C, tuple(sigmas), interpret)
 
-    P: 15 arrays [N, C] (plane variants, plane-major); L: 9 arrays [N, C];
-    pe7 [7, N, E]; w0_parts = (w0a, w0b, w0c, w0pe) row-splits of layer-0
-    weights; b0 [H]; w1 [H, O]; b1 [O].
-    Returns (out_center [N, O], sdf_off [6, N]); the biases are applied
-    outside the kernel (keeps the VJP signature lean — their grads are
-    the cotangent sums XLA derives for free).
-    """
-    cd = P[0].dtype if P[0].dtype == jnp.bfloat16 else jnp.float32
-    static = (7, tile, jnp.dtype(cd).name, (N_PVAR, N_LVAR), interpret)
-    out_c, out_off = _head(static, tuple(P), tuple(L), pe7,
+
+def stencil_head(pp, lp, fr, sigmas, pe7, w0_parts: Sequence, b0, w1, b1,
+                 tile: int = 256, interpret: bool = False):
+    """7-point stencil MLP head on patch-gather inputs.
+
+    pp/lp: per-branch-per-plane patch lists (flattened, b-major) from
+    vm_patch_gather; fr [N, 2*FRAC_STRIDE]; sigmas static per-branch
+    shifts (or None entries for dynamic mips); pe7 [7, N, E];
+    w0_parts = (w0a, w0b, w0c, w0pe) row-splits of layer-0 weights;
+    b0 [H]; w1 [H, O]; b1 [O].
+    Returns (out_center [N, O], sdf_off [6, N]); biases applied outside
+    the kernel (their grads are free cotangent sums in XLA)."""
+    static = _static_cfg(7, pp, lp, fr, sigmas, tile, interpret)
+    out_c, out_off = _head(static, tuple(pp), tuple(lp), fr, pe7,
                            tuple(w0_parts), b0, w1)
     return out_c + b1[None, :], out_off + b1[0]
 
 
-def point_head(P: Sequence, L: Sequence, pe, w0_parts: Sequence, b0,
-               w1, b1, tile: int = 256, interpret: bool = False):
-    """Single-point MLP head: P/L are 3 arrays [N, C] each (center
-    variants only); pe [N, E]; returns [N, O]."""
-    cd = P[0].dtype if P[0].dtype == jnp.bfloat16 else jnp.float32
-    static = (1, tile, jnp.dtype(cd).name, (1, 1), interpret)
-    out_c, _ = _head(static, tuple(P), tuple(L), pe[None],
+def point_head(pp, lp, fr, sigmas, pe, w0_parts: Sequence, b0, w1, b1,
+               tile: int = 256, interpret: bool = False):
+    """Single-point MLP head (center taps only): pe [N, E] -> [N, O]."""
+    static = _static_cfg(1, pp, lp, fr, sigmas, tile, interpret)
+    out_c, _ = _head(static, tuple(pp), tuple(lp), fr, pe[None],
                      tuple(w0_parts), b0, w1)
     return out_c + b1[None, :]

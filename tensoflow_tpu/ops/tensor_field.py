@@ -196,7 +196,7 @@ def vm_features(field: FieldParams, xyz01, level=None, n_levels: int = 1,
     reference's feature ordering (ref: fields.py:272-298: concat over planes
     of per-component products).
     """
-    xyz01 = jax.lax.stop_gradient(xyz01)
+    xyz01 = jnp.clip(jax.lax.stop_gradient(xyz01), 0.0, 1.0)  # dr.texture 'clamp'
     n = xyz01.shape[0]
     if level is None:
         level = jnp.zeros((n,), xyz01.dtype)
@@ -394,7 +394,7 @@ def vm_features_split(packed: PackedVMField, xyz01, level=None):
     tensors in the lane dimension costs relayout copies on TPU.
     """
     meta = packed.meta
-    xyz01 = jax.lax.stop_gradient(xyz01)
+    xyz01 = jnp.clip(jax.lax.stop_gradient(xyz01), 0.0, 1.0)  # dr.texture 'clamp'
     n = xyz01.shape[0]
     if level is not None:
         level = jax.lax.stop_gradient(level)
@@ -449,7 +449,7 @@ def vm_stencil_variants(packed: PackedVMField, xyz01, delta01, level=None):
     mip-blended (product-of-blends happens downstream).
     """
     meta = packed.meta
-    xyz01 = jax.lax.stop_gradient(xyz01)
+    xyz01 = jnp.clip(jax.lax.stop_gradient(xyz01), 0.0, 1.0)  # dr.texture 'clamp'
     n = xyz01.shape[0]
     if level is not None:
         level = jax.lax.stop_gradient(level)
@@ -483,6 +483,192 @@ def vm_stencil_variants(packed: PackedVMField, xyz01, delta01, level=None):
                     ll = ll * mwc
                 L[i][vi] = ll if L[i][vi] is None else L[i][vi] + ll
     return P, L
+
+
+# ---------------------------------------------------------------------------
+# patch atlas: one-gather-per-texture stencil representation
+# ---------------------------------------------------------------------------
+#
+# TPU gathers cost ~2.5 ns per gathered ROW regardless of width (round-2
+# measurement), so the variant representation above (60+18 rows/sample)
+# spends ~23 ms at 131k samples on gathers alone.  The patch atlas makes
+# each gathered row the ENTIRE 4x4-texel neighborhood of a sample
+# (16C channels, edge-clamped), so a full 7-point stencil evaluation
+# needs just 3 plane + 3 line gathers per mip branch; the bilinear /
+# stencil-shift math moves into the Pallas head kernel
+# (ops/pallas_stencil.py) as static-slot hat-function weights.
+#
+# Anchor convention: row a = floor(ut) + 1 (a in [0, H] since
+# ut in [-0.5, H-0.5)), slot (du, dv), du/dv in [-1, 2], holds texel
+# row clip(a - 1 + du, 0, H - 1) — so per-corner clamped bilinear at any
+# in-range coordinate, including the stencil's +-sigma texel shifts,
+# reads only in-patch slots with the shared fraction frac(ut).
+
+
+class PatchMeta(NamedTuple):
+    """Static patch-atlas layout (python ints — hashable jit constant)."""
+    plane_offsets: Tuple[Tuple[int, ...], ...]   # [3][L] row offset
+    plane_shapes: Tuple[Tuple[Tuple[int, int], ...], ...]  # [3][L] (H, W)
+    line_offsets: Tuple[Tuple[int, ...], ...]    # [3][L]
+    line_lens: Tuple[Tuple[int, ...], ...]       # [3][L]
+    n_levels: int
+    n_comp: int
+
+
+@jax.tree_util.register_pytree_node_class
+class PatchAtlas:
+    """VM field as patch-row gather tables: planes [Tp, 16C], lines
+    [Tl, 4C]."""
+
+    def __init__(self, plane_buf, line_buf, meta: PatchMeta):
+        self.plane_buf = plane_buf
+        self.line_buf = line_buf
+        self.meta = meta
+
+    def tree_flatten(self):
+        return (self.plane_buf, self.line_buf), self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, children):
+        return cls(children[0], children[1], meta)
+
+
+def pack_vm_patches(field: FieldParams, n_levels: int = 1,
+                    gather_dtype=None) -> PatchAtlas:
+    """Build the patch atlas (differentiable; once per train step).
+
+    Each plane row (a_u * (W+1) + a_v) stores the 16 edge-clamped texels
+    (clip(a_u-1+du), clip(a_v-1+dv)), du,dv in [-1,2], slot-major
+    (du*4+dv); each line row stores the 4 texels clip(a-1+dx)."""
+    pparts, lparts = [], []
+    p_offs, p_shapes, l_offs, l_lens = [], [], [], []
+    poff = loff = 0
+    for i in range(3):
+        offs, shps = [], []
+        for tex in build_pyramid_2d(field['planes'][i], n_levels):
+            h, w, c = tex.shape
+            pad = jnp.pad(tex, ((2, 2), (2, 2), (0, 0)), mode='edge')
+            slots = [pad[du + 1:du + 2 + h, dv + 1:dv + 2 + w]
+                     for du in (-1, 0, 1, 2) for dv in (-1, 0, 1, 2)]
+            patch = jnp.concatenate(slots, axis=-1)
+            pparts.append(patch.reshape((h + 1) * (w + 1), 16 * c))
+            offs.append(poff)
+            shps.append((h, w))
+            poff += (h + 1) * (w + 1)
+        p_offs.append(tuple(offs))
+        p_shapes.append(tuple(shps))
+    for i in range(3):
+        offs, lens = [], []
+        for tex in build_pyramid_1d(field['lines'][i], n_levels):
+            l, c = tex.shape
+            pad = jnp.pad(tex, ((2, 2), (0, 0)), mode='edge')
+            slots = [pad[dx + 1:dx + 2 + l] for dx in (-1, 0, 1, 2)]
+            lparts.append(jnp.concatenate(slots, axis=-1))
+            offs.append(loff)
+            lens.append(l)
+            loff += l + 1
+        l_offs.append(tuple(offs))
+        l_lens.append(tuple(lens))
+    pbuf = jnp.concatenate(pparts, axis=0)
+    lbuf = jnp.concatenate(lparts, axis=0)
+    if gather_dtype is not None:
+        pbuf = pbuf.astype(gather_dtype)
+        lbuf = lbuf.astype(gather_dtype)
+    meta = PatchMeta(tuple(p_offs), tuple(p_shapes), tuple(l_offs),
+                     tuple(l_lens), n_levels, field['planes'][0].shape[-1])
+    return PatchAtlas(pbuf, lbuf, meta)
+
+
+FRAC_STRIDE = 32   # frac-pack lanes per mip branch
+
+
+def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
+    """Gather stencil patches + pack fractions for the Pallas head.
+
+    Returns (pp, lp, fr, sigmas): pp[b][i] [N, 16C] plane patches and
+    lp[b][i] [N, 4C] line patches per mip branch b; fr [N, 64] f32 with
+    branch b at lanes 32b+: 0..5 = (fu_i, fv_i), 6..8 = fx_i,
+    9 = branch blend weight, 10..15 = (sigma_u_i, sigma_v_i),
+    16..18 = sigma_x_i (per-texel stencil shifts).  sigmas[b][i] =
+    (su, sv, sx) python floats when the branch's mip is static
+    (n_levels == 1), else None (the kernel reads the sigma lanes).
+
+    Coordinates are stop-gradient'ed (FD stencil, matching the
+    reference's .detach() — ref fields.py:268-270); patches carry the
+    field gradient (scatter-add VJP of the row gather)."""
+    meta = atlas.meta
+    xyz01 = jnp.clip(jax.lax.stop_gradient(xyz01), 0.0, 1.0)  # dr.texture 'clamp'
+    n = xyz01.shape[0]
+    if level is not None:
+        level = jax.lax.stop_gradient(level)
+    cols = [xyz01[:, 0], xyz01[:, 1], xyz01[:, 2]]
+    d01 = [float(delta01[0]), float(delta01[1]), float(delta01[2])]
+
+    pp, lp, sigmas = [], [], []
+    fr_cols = []
+    for l0, mw in _level_branches(meta, level, n):
+        static = isinstance(l0, int)
+        pps, lps, sgs = [], [], []
+        fracs, sig_lanes = [], []
+        for i in range(3):
+            a, b = MAT_MODE[i]
+            if static:
+                h, w = meta.plane_shapes[i][l0]
+                base = meta.plane_offsets[i][l0]
+                hf, wf = float(h), float(w)
+                hi, wi = h, w
+            else:
+                hs = _tables([s[0] for s in meta.plane_shapes[i]])
+                ws = _tables([s[1] for s in meta.plane_shapes[i]])
+                hi = jnp.take(hs, l0)
+                wi = jnp.take(ws, l0)
+                base = jnp.take(_tables(meta.plane_offsets[i]), l0)
+                hf, wf = hi.astype(jnp.float32), wi.astype(jnp.float32)
+            ut = cols[a] * hf - 0.5
+            vt = cols[b] * wf - 0.5
+            u0 = jnp.floor(ut)
+            v0 = jnp.floor(vt)
+            fracs += [ut - u0, vt - v0]
+            sig_lanes += [d01[a] * hf * jnp.ones((n,), jnp.float32),
+                          d01[b] * wf * jnp.ones((n,), jnp.float32)]
+            au = jnp.clip(u0.astype(jnp.int32) + 1, 0, hi)
+            av = jnp.clip(v0.astype(jnp.int32) + 1, 0, wi)
+            idx = base + au * (wi + 1) + av
+            pps.append(jnp.take(atlas.plane_buf, idx, axis=0, mode='clip'))
+            sgs.append((d01[a] * hf, d01[b] * wf) if static else None)
+        sig_x = []
+        for i in range(3):
+            c = VEC_MODE[i]
+            if static:
+                ln = meta.line_lens[i][l0]
+                base = meta.line_offsets[i][l0]
+                lf, li = float(ln), ln
+            else:
+                li = jnp.take(_tables(meta.line_lens[i]), l0)
+                base = jnp.take(_tables(meta.line_offsets[i]), l0)
+                lf = li.astype(jnp.float32)
+            xt = cols[c] * lf - 0.5
+            x0 = jnp.floor(xt)
+            fracs.append(xt - x0)
+            sig_x.append(d01[c] * lf * jnp.ones((n,), jnp.float32))
+            ax = jnp.clip(x0.astype(jnp.int32) + 1, 0, li)
+            lps.append(jnp.take(atlas.line_buf, ax + base, axis=0,
+                                mode='clip'))
+            if static:
+                sgs[i] = sgs[i] + (d01[c] * lf,)
+        wcol = (jnp.full((n,), 1.0, jnp.float32) if mw is None
+                else mw.astype(jnp.float32))
+        fr_b = fracs + [wcol] + sig_lanes + sig_x
+        assert len(fr_b) == 19
+        fr_b += [jnp.zeros((n,), jnp.float32)] * (FRAC_STRIDE - 19)
+        fr_cols += fr_b
+        pp.append(pps)
+        lp.append(lps)
+        sigmas.append(tuple(sgs) if static else None)
+    fr = jnp.stack(fr_cols, axis=-1)
+    if fr.shape[-1] < 2 * FRAC_STRIDE:
+        fr = jnp.pad(fr, [(0, 0), (0, 2 * FRAC_STRIDE - fr.shape[-1])])
+    return pp, lp, fr, tuple(sigmas)
 
 
 def vm_stencil_features_split(packed: PackedVMField, xyz01, delta01,
