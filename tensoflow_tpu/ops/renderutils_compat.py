@@ -28,8 +28,16 @@ def lambert(nrm, wi):
     return jnp.clip(dot(nrm, wi), 0.0, None) / np.pi
 
 
+def fresnel_schlick90(f0, f90, cos_theta):
+    """Schlick fresnel with explicit f90 and the reference's epsilon
+    clamp (ref: bsdf.py:99-101)."""
+    ct = jnp.clip(cos_theta, SPECULAR_EPSILON, 1.0 - SPECULAR_EPSILON)
+    return f0 + (f90 - f0) * (1.0 - ct) ** 5.0
+
+
 def frostbite_diffuse(nrm, wi, wo, linear_roughness):
-    """Frostbite energy-conserving wrapped diffuse."""
+    """Frostbite energy-conserving diffuse (ref: bsdf.py:66-81 — note the
+    reference returns only the scatter product, no NdotL/pi factor)."""
     wi_dot_n = dot(nrm, wi)
     wo_dot_n = dot(nrm, wo)
     h = safe_normalize(wi + wo)
@@ -37,18 +45,10 @@ def frostbite_diffuse(nrm, wi, wo, linear_roughness):
     energy_bias = 0.5 * linear_roughness
     energy_factor = 1.0 - (0.51 / 1.51) * linear_roughness
     f90 = energy_bias + 2.0 * wi_dot_h * wi_dot_h * linear_roughness
-    f0 = 1.0
-
-    # schlick with f90: f0 + (f90 - f0) * (1 - cos)^5
-    def schlick90(cos):
-        return f0 + (f90 - f0) * jnp.clip(1.0 - cos, 0, 1) ** 5
-
-    wi_scatter = schlick90(jnp.clip(wi_dot_n, 0, 1))
-    wo_scatter = schlick90(jnp.clip(wo_dot_n, 0, 1))
+    wi_scatter = fresnel_schlick90(1.0, f90, wi_dot_n)
+    wo_scatter = fresnel_schlick90(1.0, f90, wo_dot_n)
     mask = (wi_dot_n > 0) & (wo_dot_n > 0)
-    return jnp.where(mask,
-                     wi_scatter * wo_scatter * energy_factor
-                     * jnp.clip(wi_dot_n, 0, 1) / np.pi, 0.0)
+    return jnp.where(mask, wi_scatter * wo_scatter * energy_factor, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -85,16 +85,17 @@ def pbr_specular(col, nrm, wo, wi, alpha, min_roughness: float = 0.08):
     n_dot_h = dot(nrm, h)
     d = ndf_ggx(alpha_sqr, n_dot_h)
     g = masking_smith_ggx_correlated(alpha_sqr, wo_dot_n, wi_dot_n)
-    f = fresnel_schlick(col, wo_dot_h)
+    f = fresnel_schlick90(col, 1.0, wo_dot_h)
     w = f * d * g * 0.25 / jnp.clip(wo_dot_n, SPECULAR_EPSILON, None)
     frontfacing = (wo_dot_n > SPECULAR_EPSILON) & (wi_dot_n > SPECULAR_EPSILON)
     return jnp.where(frontfacing, w, 0.0)
 
 
 def pbr_bsdf(kd, arm, pos, nrm, view_pos, light_pos,
-             min_roughness: float = 0.08):
+             min_roughness: float = 0.08, bsdf: int = 0):
     """Full PBR BSDF (diffuse+specular), renderutils layout:
-    kd [...,3] albedo; arm [...,3] = (ao, roughness, metallic)."""
+    kd [...,3] albedo; arm [...,3] = (ao, roughness, metallic);
+    bsdf 0 = lambert diffuse, 1 = frostbite (ref: bsdf.py:138-160)."""
     wo = safe_normalize(view_pos - pos)
     wi = safe_normalize(light_pos - pos)
     spec_str = arm[..., 0:1]
@@ -102,7 +103,10 @@ def pbr_bsdf(kd, arm, pos, nrm, view_pos, light_pos,
     metallic = arm[..., 2:3]
     ks = (0.04 * (1.0 - metallic) + kd * metallic) * (1.0 - spec_str)
     kd_eff = kd * (1.0 - metallic)
-    diffuse = kd_eff * lambert(nrm, wi)
+    if bsdf == 0:
+        diffuse = kd_eff * lambert(nrm, wi)
+    else:
+        diffuse = kd_eff * frostbite_diffuse(nrm, wi, wo, roughness)
     alpha = roughness * roughness
     specular = pbr_specular(ks, nrm, wo, wi, alpha, min_roughness)
     return diffuse + specular
@@ -112,10 +116,17 @@ def pbr_bsdf(kd, arm, pos, nrm, view_pos, light_pos,
 # normals (ref: c_src/normal.cu prepare_shading_normal)
 # ---------------------------------------------------------------------------
 
+NORMAL_THRESHOLD = 0.1
+
+
 def prepare_shading_normal(pos, view_pos, perturbed_nrm, smooth_nrm,
                            smooth_tng, geom_nrm, two_sided_shading=True,
                            opengl=True):
-    """Tangent-space normal perturbation + two-sided/backface handling."""
+    """Tangent-space normal perturbation + two-sided/backface handling +
+    grazing-angle bend toward the geometric normal (ref: bsdf.py:28-52)."""
+    smooth_nrm = safe_normalize(smooth_nrm)
+    smooth_tng = safe_normalize(smooth_tng)
+    view_vec = safe_normalize(view_pos - pos)
     smooth_bitang = safe_normalize(jnp.cross(smooth_tng, smooth_nrm))
     if opengl:
         shading_nrm = (smooth_tng * perturbed_nrm[..., 0:1]
@@ -128,11 +139,13 @@ def prepare_shading_normal(pos, view_pos, perturbed_nrm, smooth_nrm,
                        + smooth_nrm * jnp.clip(perturbed_nrm[..., 2:3],
                                                0.0, None))
     shading_nrm = safe_normalize(shading_nrm)
-    view_vec = safe_normalize(view_pos - pos)
     if two_sided_shading:
-        flip = dot(geom_nrm, view_vec) < 0
-        shading_nrm = jnp.where(flip, -shading_nrm, shading_nrm)
-    return shading_nrm
+        front = dot(geom_nrm, view_vec) > 0
+        shading_nrm = jnp.where(front, shading_nrm, -shading_nrm)
+        geom_nrm = jnp.where(front, geom_nrm, -geom_nrm)
+    # grazing-angle lerp toward the geometric normal (ref _bend_normal)
+    t = jnp.clip(dot(view_vec, shading_nrm) / NORMAL_THRESHOLD, 0.0, 1.0)
+    return geom_nrm + t * (shading_nrm - geom_nrm)
 
 
 # ---------------------------------------------------------------------------
