@@ -41,8 +41,9 @@ def main():
     xs = np.linspace(-1, 1, rcfg.bake_resolution, dtype=np.float32)
     xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
     vals = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) - 0.5
-    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
-                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    grid = sdf_trace.pack_sdf_grid(sdf_trace.SDFGrid(
+        values=jnp.asarray(vals),
+        aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3])))
 
     params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), rcfg.shader)
     tx, opt_state = make_mat_optimizer(cfg, params, 0)

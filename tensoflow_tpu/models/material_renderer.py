@@ -45,6 +45,7 @@ class MaterialRendererConfig(NamedTuple):
     trace_sn0: int = 32
     trace_sn1: int = 9
     bake_resolution: int = 256
+    trace_packed: bool = True
     refine_with_neural_sdf: bool = True
 
 
@@ -69,10 +70,17 @@ def sdf_fun_of(geo_params, cfg: MaterialRendererConfig):
     return sdf_fun
 
 
-def bake_geometry(geo_params, cfg: MaterialRendererConfig) -> sdf_trace.SDFGrid:
-    """Bake the frozen stage-1 SDF (the 'mesh extraction' analogue)."""
-    return sdf_trace.bake_sdf_grid(
+def bake_geometry(geo_params, cfg: MaterialRendererConfig):
+    """Bake the frozen stage-1 SDF (the 'mesh extraction' analogue).
+
+    Returns the packed trace representation (one gathered row per
+    trilinear tap — see ops/sdf_trace.pack_sdf_grid); set
+    ``trace_packed=False`` for the dense reference path."""
+    dense = sdf_trace.bake_sdf_grid(
         sdf_fun_of(geo_params, cfg), cfg.aabb, cfg.bake_resolution)
+    if not cfg.trace_packed:
+        return dense
+    return sdf_trace.pack_sdf_grid(dense)
 
 
 def near_far_from_sphere(rays_o, rays_d, radius: float):

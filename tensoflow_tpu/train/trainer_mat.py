@@ -71,6 +71,7 @@ def build_material_config(cfg: Dict[str, Any],
         reg_diffuse_light_lambda=cfg['reg_diffuse_light_lambda'],
         std_act=cfg['std_act'], inv_s_init=cfg['inv_s_init'],
         bake_resolution=cfg.get('bake_resolution', 256),
+        trace_packed=cfg.get('trace_packed', True),
         refine_with_neural_sdf=cfg.get('refine_with_neural_sdf', True))
 
 

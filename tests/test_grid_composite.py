@@ -120,3 +120,78 @@ def test_trilinear_sample_matches_corners():
     vals = np.asarray(grid_mod.trilinear_sample_3d(vol, pts))
     assert vals[0] == 0.0 and vals[1] == 7.0
     np.testing.assert_allclose(vals[2], 3.5, atol=1e-6)
+
+
+def _sphere_grid(res=128, radius=0.5):
+    xs = np.linspace(-1, 1, res, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    vals = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) - radius
+    return sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+
+
+def test_packed_tap_matches_dense_sample():
+    grid = _sphere_grid(64)
+    pg = sdf_trace.pack_sdf_grid(grid, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.uniform(-1.1, 1.1, (500, 3)).astype(np.float32))
+    dense = np.asarray(sdf_trace.sample_sdf_grid(grid, pts))
+    packed, g = sdf_trace._packed_tap(pg.rows, pg.aabb, pts,
+                                      want_grad=True)
+    np.testing.assert_allclose(np.asarray(packed), dense, atol=1e-5)
+    # analytic gradient ~ radial direction inside the aabb, away from
+    # cell-boundary kinks
+    inside = np.all(np.abs(np.asarray(pts)) < 0.9, -1)
+    r = np.linalg.norm(np.asarray(pts), axis=-1)
+    ok = inside & (r > 0.2)
+    gn = np.asarray(g)[ok]
+    gn /= np.linalg.norm(gn, axis=-1, keepdims=True)
+    radial = np.asarray(pts)[ok] / r[ok][:, None]
+    assert (np.sum(gn * radial, -1) > 0.98).all()
+
+
+def test_packed_trace_matches_dense():
+    grid = _sphere_grid(128)
+    pg = sdf_trace.pack_sdf_grid(grid)
+    rng = np.random.RandomState(2)
+    # mix of hitting rays (through origin), grazing, and missing
+    d = rng.randn(256, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = -d * 2.0
+    o[64:128] += 0.45 * rng.randn(64, 3).astype(np.float32)  # grazing-ish
+    o[128:192] += 2.0 * rng.randn(64, 3).astype(np.float32)  # mostly miss
+    i_d, n_d, t_d, h_d = sdf_trace.sphere_trace(grid, jnp.asarray(o),
+                                                jnp.asarray(d))
+    i_p, n_p, t_p, h_p = sdf_trace.sphere_trace(pg, jnp.asarray(o),
+                                                jnp.asarray(d))
+    h_d, h_p = np.asarray(h_d), np.asarray(h_p)
+    # hit decisions agree except possibly at tangency (allow 3%)
+    assert (h_d != h_p).mean() < 0.03, (h_d != h_p).mean()
+    both = h_d & h_p
+    assert both.sum() > 50
+    np.testing.assert_allclose(np.asarray(t_p)[both, 0],
+                               np.asarray(t_d)[both, 0], atol=0.02)
+    cos = np.sum(np.asarray(n_p)[both] * np.asarray(n_d)[both], -1)
+    assert (cos > 0.99).mean() > 0.97, cos.min()
+
+
+def test_packed_trace_hits_offset_sphere():
+    # off-center small sphere: exercises coarse-phase stop + fine handoff
+    xs = np.linspace(-1, 1, 128, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    vals = (np.sqrt((xx - 0.3) ** 2 + (yy + 0.2) ** 2 + zz ** 2)
+            - 0.15).astype(np.float32)
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    pg = sdf_trace.pack_sdf_grid(grid)
+    center = np.array([0.3, -0.2, 0.0], np.float32)
+    rng = np.random.RandomState(3)
+    d = rng.randn(64, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = center - d * 1.2
+    inters, normals, depth, hit = sdf_trace.sphere_trace(
+        pg, jnp.asarray(o), jnp.asarray(d))
+    assert np.asarray(hit).all()
+    np.testing.assert_allclose(np.asarray(depth)[:, 0], 1.05, atol=0.02)
+    r = np.linalg.norm(np.asarray(inters) - center, axis=-1)
+    np.testing.assert_allclose(r, 0.15, atol=0.012)  # ~hit_eps at 128^3
