@@ -106,15 +106,99 @@ def scale_invariant_psnr_hdr(gt: np.ndarray, pred: np.ndarray,
 
 
 _LPIPS_NET = None
+_LPIPS_EXACT = None
+
+# lpips-0.1 VGG16 topology: (conv_index_in_torchvision_features, out_ch);
+# feature taps after relu1_2/2_2/3_3/4_3/5_3, max-pool between groups.
+_VGG_PLAN = [(0, 64), (2, 64), 'pool', (5, 128), (7, 128), 'pool',
+             (10, 256), (12, 256), (14, 256), 'pool',
+             (17, 512), (19, 512), (21, 512), 'pool',
+             (24, 512), (26, 512), (28, 512)]
+_VGG_TAPS = {2, 7, 14, 21, 28}  # conv ids whose relu output is a tap
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _lpips_weights_path() -> str:
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, 'assets', 'lpips_vgg16.npz')
+
+
+def lpips_exact(gt: np.ndarray, pred: np.ndarray,
+                weights=None) -> Optional[float]:
+    """Exact lpips-0.1 (VGG16 backbone + learned 1x1 linear heads).
+
+    Runs from a self-contained weights bundle (``assets/lpips_vgg16.npz``)
+    with keys ``features.{i}.weight`` [O,I,3,3] / ``features.{i}.bias`` [O]
+    for each conv index of torchvision's vgg16().features, and
+    ``lin{k}.weight`` [1,C,1,1] for the 5 learned heads (k=0..4) — i.e. the
+    tensors of ``lpips.LPIPS(net='vgg')`` exported with numpy. This image
+    has no network egress and ships neither the lpips wheel nor pretrained
+    VGG weights, so the bundle must be provided by the user; returns None
+    when it is absent. Matches ref utils/base_utils.py:52-66 semantics.
+
+    gt/pred: [H,W,3] float in [0,1].
+    """
+    global _LPIPS_EXACT
+    import os
+    if weights is None:
+        path = _lpips_weights_path()
+        if _LPIPS_EXACT is None:
+            if not os.path.exists(path):
+                return None
+            _LPIPS_EXACT = dict(np.load(path))
+        weights = _LPIPS_EXACT
+    import jax
+    import jax.numpy as jnp
+    import jax.lax as lax
+
+    def prep(img):
+        x = img.astype(np.float32).transpose(2, 0, 1)[None]  # [1,3,H,W]
+        x = 2.0 * x - 1.0                                    # [-1, 1]
+        return ((x - _LPIPS_SHIFT.reshape(1, 3, 1, 1))
+                / _LPIPS_SCALE.reshape(1, 3, 1, 1))
+
+    def vgg_taps(x):
+        taps = []
+        for item in _VGG_PLAN:
+            if item == 'pool':
+                x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 2),
+                                      (1, 1, 2, 2), 'VALID')
+                continue
+            i, _ = item
+            w = jnp.asarray(weights[f'features.{i}.weight'])
+            b = jnp.asarray(weights[f'features.{i}.bias'])
+            x = lax.conv_general_dilated(x, w, (1, 1), [(1, 1), (1, 1)])
+            x = jax.nn.relu(x + b.reshape(1, -1, 1, 1))
+            if i in _VGG_TAPS:
+                taps.append(x)
+        return taps
+
+    ta = vgg_taps(jnp.asarray(prep(gt)))
+    tb = vgg_taps(jnp.asarray(prep(pred)))
+    dist = 0.0
+    for k, (fa, fb) in enumerate(zip(ta, tb)):
+        na = fa / jnp.sqrt(jnp.sum(fa ** 2, 1, keepdims=True) + 1e-10)
+        nb = fb / jnp.sqrt(jnp.sum(fb ** 2, 1, keepdims=True) + 1e-10)
+        diff = (na - nb) ** 2
+        lin = jnp.asarray(weights[f'lin{k}.weight']).reshape(1, -1, 1, 1)
+        dist = dist + jnp.mean(jnp.sum(diff * lin, axis=1))
+    return float(dist)
 
 
 def lpips(gt: np.ndarray, pred: np.ndarray) -> Optional[float]:
-    """LPIPS-style perceptual distance over VGG16 features (torch CPU).
+    """LPIPS perceptual distance (ref: base_utils.py:52-66).
 
-    Uses unit-normalized conv features with uniform layer weights — a
-    close, dependency-light proxy for the lpips wheel the reference uses
-    (ref: base_utils.py:52-66). Returns None when torchvision is missing.
+    Prefers the exact lpips-0.1 computation when a weights bundle is
+    present (``lpips_exact``); otherwise falls back to a unit-normalized
+    VGG16-feature proxy over torchvision weights (uniform layer weights) —
+    close for relative tracking, not comparable to published tables.
+    Returns None when neither weights source is available.
     """
+    exact = lpips_exact(gt, pred)
+    if exact is not None:
+        return exact
     global _LPIPS_NET
     try:
         import torch

@@ -26,12 +26,16 @@ BLENDER_SCRIPT = r'''
 # Auto-generated Blender driver (reference bridge semantics:
 # blender_backend/relight_backend.py): import mesh, attach vertex-color
 # principled material, light with an HDRI, render the given poses.
+# Targets Blender 4.x APIs with pre-4.0 fallbacks.
 import bpy, json, sys, numpy as np
 argv = sys.argv[sys.argv.index('--') + 1:]
 cfg = json.load(open(argv[0]))
 
 bpy.ops.wm.read_factory_settings(use_empty=True)
-bpy.ops.import_mesh.ply(filepath=cfg['mesh'])
+if hasattr(bpy.ops.wm, 'ply_import'):      # Blender >= 4.0
+    bpy.ops.wm.ply_import(filepath=cfg['mesh'])
+else:                                      # legacy importer (< 4.0)
+    bpy.ops.import_mesh.ply(filepath=cfg['mesh'])
 obj = bpy.context.selected_objects[0]
 if cfg.get('trans'):
     # z-up flip for GlossySynthetic-convention meshes
@@ -42,12 +46,25 @@ albedo = np.load(cfg['albedo'])
 rough = np.load(cfg['roughness'])
 metal = np.load(cfg['metallic'])
 mesh = obj.data
-ca = mesh.vertex_colors.new(name='albedo')
-cm = mesh.vertex_colors.new(name='metal_rough')
-for poly in mesh.polygons:
-    for li, vi in zip(poly.loop_indices, poly.vertices):
-        ca.data[li].color = (*albedo[vi], 1.0)
-        cm.data[li].color = (metal[vi][0], rough[vi][0], 0.0, 1.0)
+# vectorized per-corner color assignment (foreach_set; the per-loop python
+# assignment the reference uses takes minutes on 500k-vert meshes)
+nloops = len(mesh.loops)
+vidx = np.empty(nloops, np.int32)
+mesh.loops.foreach_get('vertex_index', vidx)
+col_a = np.ones((nloops, 4), np.float32)
+col_a[:, :3] = albedo[vidx]
+col_m = np.zeros((nloops, 4), np.float32)
+col_m[:, 0] = metal[vidx, 0]
+col_m[:, 1] = rough[vidx, 0]
+col_m[:, 3] = 1.0
+if hasattr(mesh, 'color_attributes'):      # Blender >= 3.2
+    ca = mesh.color_attributes.new('albedo', 'FLOAT_COLOR', 'CORNER')
+    cm = mesh.color_attributes.new('metal_rough', 'FLOAT_COLOR', 'CORNER')
+else:
+    ca = mesh.vertex_colors.new(name='albedo')
+    cm = mesh.vertex_colors.new(name='metal_rough')
+ca.data.foreach_set('color', col_a.reshape(-1))
+cm.data.foreach_set('color', col_m.reshape(-1))
 
 mat = bpy.data.materials.new('baked')
 mat.use_nodes = True
@@ -55,11 +72,16 @@ nt = mat.node_tree
 bsdf = nt.nodes['Principled BSDF']
 attr_a = nt.nodes.new('ShaderNodeVertexColor'); attr_a.layer_name = 'albedo'
 attr_m = nt.nodes.new('ShaderNodeVertexColor'); attr_m.layer_name = 'metal_rough'
-sep = nt.nodes.new('ShaderNodeSeparateRGB')
+try:                                       # Blender >= 3.3 / 4.x
+    sep = nt.nodes.new('ShaderNodeSeparateColor')
+    sep_in, sep_r, sep_g = sep.inputs['Color'], sep.outputs['Red'], sep.outputs['Green']
+except RuntimeError:                       # removed ShaderNodeSeparateRGB fallback
+    sep = nt.nodes.new('ShaderNodeSeparateRGB')
+    sep_in, sep_r, sep_g = sep.inputs['Image'], sep.outputs['R'], sep.outputs['G']
 nt.links.new(attr_a.outputs['Color'], bsdf.inputs['Base Color'])
-nt.links.new(attr_m.outputs['Color'], sep.inputs['Image'])
-nt.links.new(sep.outputs['R'], bsdf.inputs['Metallic'])
-nt.links.new(sep.outputs['G'], bsdf.inputs['Roughness'])
+nt.links.new(attr_m.outputs['Color'], sep_in)
+nt.links.new(sep_r, bsdf.inputs['Metallic'])
+nt.links.new(sep_g, bsdf.inputs['Roughness'])
 obj.data.materials.append(mat)
 
 world = bpy.data.worlds.new('relight'); bpy.context.scene.world = world

