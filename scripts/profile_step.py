@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Capture a device trace of the stage-1 bench step (same setup as bench.py)
+and dump per-op durations. Usage:
+    python scripts/profile_step.py [outdir]
+then:
+    protoc --decode_raw < <outdir>/plugins/profile/*/\*.xplane.pb > /tmp/x.txt
+    python scripts/parse_xplane.py /tmp/x.txt | head -40
+"""
+import sys
+import glob
+import os
+import subprocess
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else '/tmp/prof_step'
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import numpy as np
+    from tensoflow_tpu import config as config_mod
+    from tensoflow_tpu.fields import light as light_mod
+    from tensoflow_tpu.models import shape_renderer as sr
+    from tensoflow_tpu.ops import grid as grid_mod
+    from tensoflow_tpu.train import losses
+    from tensoflow_tpu.train.trainer import build_shape_config, make_optimizer
+    import optax
+
+    rays = 2048
+    cfg = config_mod.load_config(extra={
+        'train_ray_num': rays,
+        'sdf_n_comp': 36, 'sdf_dim': 256, 'app_dim': 128,
+        'use_occ_grid': True, 'occ_grid_reso': 128,
+        'occ_max_samples': 192,
+        'apply_occ_loss': True, 'occ_loss_step': -1,
+        'occ_loss_max_pn': 2048,
+        'has_radiance_field': False,
+        'apply_mask_loss': True,
+        'gather_dtype': 'bfloat16',
+    })
+    rcfg = build_shape_config(cfg, (128, 128, 128), 1)
+    params = sr.init_shape_renderer(jax.random.PRNGKey(0), rcfg)
+    occ_cfg = grid_mod.OccGridConfig(resolution=128)
+    occ_state = grid_mod.init_occ_grid(occ_cfg)
+    centers = grid_mod.occ_grid_cell_centers(occ_cfg)
+    alphas = jax.jit(lambda p, c: sr.compute_occ_alpha_chunked(p, rcfg, c))(
+        params, centers)
+    occ_state = grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, 0)
+    tx, opt_state = make_optimizer(cfg, params, 0)
+    weights = losses.schedule_weights(cfg, 2000)
+
+    rng = np.random.RandomState(0)
+    o = rng.uniform(-1, 1, (rays, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d += 0.1 * rng.randn(rays, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {
+        'rays_o': o, 'rays_d': d, 'dirs': d,
+        'radiis': np.full((rays, 1), 1e-3, np.float32),
+        'rays_cos': np.ones((rays, 1), np.float32),
+        'rgbs': rng.rand(rays, 3).astype(np.float32),
+        'masks': (rng.rand(rays, 1) > 0.5).astype(np.float32),
+    }
+
+    def step_fn(params, opt_state, occ_state, ray_batch, step, weights, rng):
+        def loss_fn(p):
+            mips = light_mod.build_mips(p['shading']['envlight'],
+                                        rcfg.shading.env)
+            outputs = sr.train_step_outputs(p, rcfg, mips, occ_state,
+                                            ray_batch, step, rng, False,
+                                            True)
+            total, _ = losses.total_loss_shape(outputs, weights)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    jitted = jax.jit(step_fn)
+    key = jax.random.PRNGKey(0)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params, opt_state, total = jitted(params, opt_state, occ_state, batch,
+                                      2000, weights, key)
+    float(total)
+    # warm window
+    for i in range(3):
+        params, opt_state, total = jitted(params, opt_state, occ_state,
+                                          batch, 2001 + i, weights,
+                                          jax.random.PRNGKey(i))
+    float(total)
+    with jax.profiler.trace(OUT):
+        for i in range(3):
+            params, opt_state, total = jitted(params, opt_state, occ_state,
+                                              batch, 2010 + i, weights,
+                                              jax.random.PRNGKey(10 + i))
+        float(total)
+    pbs = glob.glob(os.path.join(OUT, 'plugins/profile/*/*.xplane.pb'))
+    print('trace:', pbs)
+    if pbs:
+        with open('/tmp/xplane_decoded.txt', 'w') as f:
+            subprocess.run(['protoc', '--decode_raw'],
+                           stdin=open(pbs[-1], 'rb'), stdout=f, check=True)
+        print('decoded -> /tmp/xplane_decoded.txt')
+
+
+if __name__ == '__main__':
+    main()
