@@ -118,12 +118,32 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     rays_per_s = rays * n_iters / best_dt
-    print(json.dumps({
+    record = {
         'metric': 'stage1_train_rays_per_s_per_chip',
         'value': round(rays_per_s, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_s / BASELINE_RAYS_PER_S, 3),
-    }))
+        'step_ms': round(1e3 * best_dt / n_iters, 2),
+    }
+    # MFU / bandwidth accounting (VERDICT r1 item 10): XLA's own cost
+    # model for the compiled step, so BENCH_r*.json records WHY rays/s
+    # moved, not just that it did. v5e peak: 197 bf16 TFLOP/s, 819 GB/s.
+    try:
+        compiled = jitted.lower(params, opt_state, occ_state, batch, 2000,
+                                weights, key).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca:
+            step_s = best_dt / n_iters
+            flops = float(ca.get('flops', 0.0))
+            bytes_acc = float(ca.get('bytes accessed', 0.0))
+            record['tflops_per_s'] = round(flops / step_s / 1e12, 2)
+            record['hbm_gb_per_s'] = round(bytes_acc / step_s / 1e9, 1)
+            record['mfu_pct_bf16'] = round(
+                100.0 * flops / step_s / 197e12, 2)
+    except Exception:
+        pass  # cost model availability varies by backend
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

@@ -78,6 +78,29 @@ def main(path):
         print(f'== {name}')
         for k, d in durs.most_common(25):
             print(f'  {d / 1e9:9.3f} ms  {k}')
+        # un-collapsed: top individual instructions (full metadata name)
+        fine = collections.Counter()
+        cnt = collections.Counter()
+        for t, v in plane:
+            if t == 3 and isinstance(v, list):
+                for tt, ev in v:
+                    if tt == 4 and isinstance(ev, list):
+                        mid = dur = None
+                        for et, exv in ev:
+                            if et == 1 and not isinstance(exv, list):
+                                mid = int(exv)
+                            elif et == 3 and not isinstance(exv, list):
+                                try:
+                                    dur = int(exv)
+                                except ValueError:
+                                    pass
+                        if mid is not None and dur:
+                            nm = meta.get(mid, str(mid))[:160]
+                            fine[nm] += dur
+                            cnt[nm] += 1
+        print(f'-- top instructions ({name})')
+        for k, d in fine.most_common(40):
+            print(f'  {d / 1e9:9.3f} ms  x{cnt[k]:<4d} {k}')
 
 
 if __name__ == '__main__':

@@ -88,6 +88,7 @@ TRAINER_DEFAULTS: Dict[str, Any] = {
     'occ_max_samples': 192,
     'compact_samples_per_ray': 64,
     'gather_dtype': 'float32',
+    'stencil_impl': 'auto',
     'blend_ratio': 0,
 
     # losses (ref: loss.py defaults)

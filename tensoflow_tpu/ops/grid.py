@@ -103,21 +103,21 @@ def occ_grid_sampling(state, cfg: OccGridConfig, rays_o, dirs, near, far,
     occ = query_binary(state, cfg, pts.reshape(-1, 3)).reshape(rn, -1)
     occ = occ & (tm < far)
 
-    # stable compaction of the first `max_samples` occupied steps:
-    # cumsum -> per-ray slot scatter (row-parallel; replaces a top_k over
-    # n_candidates lanes, which dominated the sampler cost on TPU)
+    # stable compaction of the first `max_samples` occupied steps via a
+    # per-row SORT of candidate keys (occupied keep their index, empty get
+    # index + n_candidates -> occupied bubble to the front in order).  A
+    # cumsum+scatter formulation of the same selection lowered to a
+    # serialized generic scatter on TPU (~25 ms of the 28 ms sampler cost
+    # at 2048x444); the sort is a vectorized O(S log^2 S) network.  The
+    # kept t values derive arithmetically from the sorted index — no
+    # gather needed.
     ii = jnp.arange(n_candidates, dtype=jnp.int32)
-    pos = jnp.cumsum(occ.astype(jnp.int32), axis=1) - 1
-    keep = occ & (pos < max_samples)
-    dest = jnp.where(keep, pos, max_samples)               # dump col = S
-    slots = jnp.full((rn, max_samples + 1), n_candidates, jnp.int32)
-    slots = slots.at[jnp.arange(rn, dtype=jnp.int32)[:, None], dest].set(
-        jnp.broadcast_to(ii[None, :], (rn, n_candidates)), mode='drop')
-    src = slots[:, :max_samples]
-    valid = src < n_candidates
-    src_c = jnp.minimum(src, n_candidates - 1)
-    t_starts = jnp.take_along_axis(t0, src_c, axis=1)
-    t_ends = jnp.take_along_axis(t1, src_c, axis=1)
+    key = jnp.where(occ, ii[None, :], n_candidates + ii[None, :])
+    key = jax.lax.sort(key, dimension=1)[:, :max_samples]
+    valid = key < n_candidates
+    idx = jnp.minimum(key, n_candidates - 1).astype(rays_o.dtype)
+    t_starts = near + (idx + jitter) * step_size
+    t_ends = t_starts + step_size
     return t_starts, t_ends, valid
 
 

@@ -44,7 +44,8 @@ def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
         n_comp=cfg['sdf_n_comp'], sdf_dim=cfg['sdf_dim'],
         app_dim=cfg['app_dim'], n_levels=n_levels,
         sdf_multires=cfg['sdf_multires'],
-        gather_dtype=cfg.get('gather_dtype', 'float32'))
+        gather_dtype=cfg.get('gather_dtype', 'float32'),
+        stencil_impl=cfg.get('stencil_impl', 'auto'))
     shading_cfg = shading_mod.ShadingConfig(
         app_feats_dim=cfg['app_dim'],
         has_radiance_field=cfg['has_radiance_field'],

@@ -31,6 +31,7 @@ def setup():
     return cfg, params, grid
 
 
+@pytest.mark.slow
 def test_diffuse_estimator_matches_analytic(setup):
     cfg, params, grid = setup
     aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
@@ -61,6 +62,7 @@ def test_diffuse_estimator_matches_analytic(setup):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_specular_estimator_white_furnace(setup):
     """Constant light: specular MC estimate should be finite, positive and
     bounded by the light level (energy conservation up to fresnel)."""

@@ -34,13 +34,15 @@ AABB = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
 
 @pytest.mark.parametrize('n_levels', [1, 2])
 def test_stencil_head_matches_xla(n_levels):
+    # small head dims: correctness only — full-size dims are exercised on
+    # TPU by the bench; interpret-mode cost scales with dims * tiles
     cfgx = tenso_sdf.SDFConfig(grid_size=(48, 40, 32), n_comp=36,
-                               sdf_dim=256, app_dim=128, sdf_multires=3,
+                               sdf_dim=64, app_dim=32, sdf_multires=3,
                                n_levels=n_levels, stencil_impl='xla')
     cfgp = cfgx._replace(stencil_impl='pallas')
     params = _mk_params(cfgx)
     rng = np.random.RandomState(0)
-    n = 300
+    n = 100
     # include points just outside the grid to exercise border clamping
     xyz = jnp.asarray((rng.rand(n, 3) - 0.5).astype(np.float32) * 2.2)
     level = (jnp.asarray(rng.rand(n).astype(np.float32))
@@ -83,10 +85,10 @@ def test_stencil_head_matches_xla(n_levels):
 def test_point_head_matches_apply():
     """Center-tap point head == the XLA single-point field forward."""
     cfg = tenso_sdf.SDFConfig(grid_size=(40, 40, 40), n_comp=36,
-                              sdf_dim=128, app_dim=64, sdf_multires=3)
+                              sdf_dim=64, app_dim=32, sdf_multires=3)
     params = _mk_params(cfg, seed=3)
     rng = np.random.RandomState(1)
-    n = 257                                     # non-multiple of tile
+    n = 131                                     # non-multiple of tile
     xyz = jnp.asarray((rng.rand(n, 3) - 0.5).astype(np.float32) * 2.1)
     from tensoflow_tpu.ops.math import contraction, positional_encoding
     xyz01 = contraction(xyz, AABB)
@@ -236,7 +238,7 @@ def test_head_vjp_exact():
 def test_stencil_head_bf16_close():
     """bf16 compute path stays within bf16 tolerance of f32."""
     cfgf = tenso_sdf.SDFConfig(grid_size=(32, 32, 32), n_comp=36,
-                               sdf_dim=256, app_dim=128, sdf_multires=3,
+                               sdf_dim=64, app_dim=32, sdf_multires=3,
                                stencil_impl='pallas')
     cfgb = cfgf._replace(gather_dtype='bfloat16')
     params = _mk_params(cfgf)
