@@ -386,18 +386,29 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
     if compact:
         alpha = grid_mod.scatter_back(alpha_s, dest).reshape(rn, sn)
-        color_full = grid_mod.scatter_back(sampled_color, dest)
-        grads_full = grid_mod.scatter_back(grads, dest)
     else:
         alpha = alpha_s.reshape(rn, sn)
-        color_full = sampled_color
-        grads_full = grads
 
     mask_f = inner.astype(alpha.dtype)
     slot_f = slot_mask.astype(alpha.dtype)
     weights, trans = composite.weights_from_alpha(alpha, inner)
     acc = composite.accumulate(weights)
-    color = composite.accumulate(weights, color_full.reshape(rn, sn, 3))
+    if compact:
+        # accumulate in COMPACT space: gather per-slot weights once and
+        # segment-sum by ray id, instead of scattering every [M,3] value
+        # back to the padded [rn,sn] grid (round-2 trace: the scatter_back
+        # expansions cost ~13ms/step).
+        w_c = (jnp.take(weights.reshape(-1), src, mode='clip')
+               * slot_mask.astype(weights.dtype))
+        ray_id = src // sn
+
+        def acc_compact(vals):
+            return jax.ops.segment_sum(w_c[:, None] * vals, ray_id,
+                                       num_segments=rn)
+        color = acc_compact(sampled_color)
+    else:
+        color = composite.accumulate(weights,
+                                     sampled_color.reshape(rn, sn, 3))
     # background behind the foreground (ref: shapeRenderer.py:1178-1182)
     if cfg.predict_BG:
         bg_rng = jax.random.fold_in(rng, 7) if rng is not None else None
@@ -413,7 +424,10 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         'sample_num': jnp.sum(mask_f) / rn,
     }
 
-    acc_normal = composite.accumulate(weights, grads_full.reshape(rn, sn, 3))
+    if compact:
+        acc_normal = acc_compact(grads)
+    else:
+        acc_normal = composite.accumulate(weights, grads.reshape(rn, sn, 3))
     outputs['normal'] = safe_normalize(
         acc_normal * acc + (1.0 - acc)
         * jnp.asarray([0.0, 0.0, 1.0], acc.dtype))
@@ -443,16 +457,15 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
     if radiance_on and sampled_radiance is not None:
         if compact:
-            rad_full = grid_mod.scatter_back(sampled_radiance, dest)
-            rough_full = grid_mod.scatter_back(occ_info['roughness'], dest)
+            radiance = acc_compact(sampled_radiance)
+            rw = acc_compact(occ_info['roughness'])
         else:
-            rad_full = sampled_radiance
-            rough_full = occ_info['roughness']
-        radiance = composite.accumulate(weights,
-                                        rad_full.reshape(rn, sn, 3))
+            radiance = composite.accumulate(
+                weights, sampled_radiance.reshape(rn, sn, 3))
+            rw = composite.accumulate(
+                weights, occ_info['roughness'].reshape(rn, sn, 1))
         if not cfg.predict_BG and cfg.isBGWhite:
             radiance = radiance + (1.0 - acc)
-        rw = composite.accumulate(weights, rough_full.reshape(rn, sn, 1))
         outputs['radiance'] = radiance
         outputs['roughness_weights'] = jax.lax.stop_gradient(rw[:, 0])
 

@@ -25,9 +25,13 @@ def weights_from_alpha(alpha, mask=None):
     if mask is not None:
         alpha = jnp.where(mask, alpha, 0.0)
     one_minus = jnp.clip(1.0 - alpha, 0.0, 1.0) + 1e-7
-    trans = jnp.cumprod(
-        jnp.concatenate([jnp.ones_like(alpha[:, :1]), one_minus[:, :-1]],
-                        axis=1), axis=1)
+    # exclusive cumprod as exp(exclusive-cumsum(log)): cumsum's VJP is a
+    # reversed cumsum, far cheaper on TPU than cumprod's (round-2 trace:
+    # the cumprod fusion cost ~13ms/step). one_minus >= 1e-7 so log is safe.
+    log_om = jnp.log(one_minus)
+    trans = jnp.exp(jnp.cumsum(
+        jnp.concatenate([jnp.zeros_like(alpha[:, :1]), log_om[:, :-1]],
+                        axis=1), axis=1))
     return alpha * trans, trans
 
 

@@ -140,15 +140,61 @@ def sample_cubemap(cubemap, dirs):
 def sample_cubemap_mip(pyramid, dirs, level):
     """Trilinear (bilinear + mip lerp) cubemap lookup.
 
-    pyramid: list of [6,R/2^l,R/2^l,C]; level [N] fractional."""
+    pyramid: list of [6,R/2^l,R/2^l,C]; level [N] fractional.
+
+    TPU note (round-2 trace finding): the naive form gathers EVERY pyramid
+    level (4 taps + a scatter-add VJP each) and weights all but two by
+    zero — 42ms/step at 131k samples.  Instead the levels are packed into
+    one flat row atlas (static offsets) and only the two adjacent levels
+    are gathered: 8 taps total regardless of pyramid depth, one scatter-add
+    buffer in the VJP.  Matches the triangle-weight blend exactly (only
+    floor/ceil levels have nonzero weight).
+    """
     n_levels = len(pyramid)
-    lv = jnp.clip(level, 0.0, n_levels - 1)
-    ls = jnp.arange(n_levels, dtype=lv.dtype)[:, None]
-    ws = jnp.maximum(0.0, 1.0 - jnp.abs(lv[None, :] - ls))
-    out = 0.0
-    for l, tex in enumerate(pyramid):
-        out = out + ws[l][:, None] * sample_cubemap(tex, dirs)
-    return out
+    if n_levels == 1:
+        return sample_cubemap(pyramid[0], dirs)
+
+    c = pyramid[0].shape[-1]
+    parts, offs, ress = [], [], []
+    offset = 0
+    for tex in pyramid:
+        f, r, _, _ = tex.shape
+        parts.append(tex.reshape(f * r * r, c))
+        offs.append(offset)
+        ress.append(r)
+        offset += f * r * r
+    buf = jnp.concatenate(parts, axis=0)
+    offs_t = jnp.asarray(offs, jnp.int32)
+    ress_t = jnp.asarray(ress, jnp.int32)
+
+    face, u, v = dir_to_cube_uv(dirs)
+    lv = jnp.clip(level, 0.0, n_levels - 1.0)
+    l0 = jnp.clip(jnp.floor(lv).astype(jnp.int32), 0, n_levels - 2)
+    frac = (lv - l0.astype(lv.dtype))[:, None]
+
+    def level_lookup(li):
+        off = jnp.take(offs_t, li, mode='clip')
+        r = jnp.take(ress_t, li, mode='clip')
+        rf = r.astype(u.dtype)
+        uf = u * rf - 0.5
+        vf = v * rf - 0.5
+        u0 = jnp.floor(uf)
+        v0 = jnp.floor(vf)
+        fu = (uf - u0)[:, None]
+        fv = (vf - v0)[:, None]
+        u0i = jnp.clip(u0.astype(jnp.int32), 0, r - 1)
+        u1i = jnp.clip(u0.astype(jnp.int32) + 1, 0, r - 1)
+        v0i = jnp.clip(v0.astype(jnp.int32), 0, r - 1)
+        v1i = jnp.clip(v0.astype(jnp.int32) + 1, 0, r - 1)
+        base = off + face * r * r
+
+        def g(vi, ui):
+            return jnp.take(buf, base + vi * r + ui, axis=0, mode='clip')
+
+        return ((1 - fv) * ((1 - fu) * g(v0i, u0i) + fu * g(v0i, u1i))
+                + fv * ((1 - fu) * g(v1i, u0i) + fu * g(v1i, u1i)))
+
+    return (1 - frac) * level_lookup(l0) + frac * level_lookup(l0 + 1)
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,40 @@ def test_env_light_build_and_shade():
                                rtol=1e-5)
 
 
+def test_cubemap_mip_atlas_matches_dense_blend():
+    """The 2-adjacent-level atlas gather equals the triangle-weight blend
+    over all levels (fwd + grads w.r.t. the pyramid)."""
+    rng = np.random.RandomState(3)
+    pyr_np = [rng.rand(6, r, r, 3).astype(np.float32) for r in (16, 8, 4)]
+    d = rng.randn(64, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    lv = rng.uniform(-0.5, 3.0, (64,)).astype(np.float32)
+
+    def dense(pyr, dirs, level):
+        n_levels = len(pyr)
+        lvc = jnp.clip(level, 0.0, n_levels - 1)
+        ls = jnp.arange(n_levels, dtype=lvc.dtype)[:, None]
+        ws = jnp.maximum(0.0, 1.0 - jnp.abs(lvc[None, :] - ls))
+        out = 0.0
+        for l, tex in enumerate(pyr):
+            out = out + ws[l][:, None] * cm.sample_cubemap(tex, dirs)
+        return out
+
+    pyr = [jnp.asarray(p) for p in pyr_np]
+    got = np.asarray(cm.sample_cubemap_mip(pyr, jnp.asarray(d),
+                                           jnp.asarray(lv)))
+    want = np.asarray(dense(pyr, jnp.asarray(d), jnp.asarray(lv)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    g_got = jax.grad(lambda p: jnp.sum(
+        cm.sample_cubemap_mip(p, jnp.asarray(d), jnp.asarray(lv)) ** 2))(pyr)
+    g_want = jax.grad(lambda p: jnp.sum(
+        dense(p, jnp.asarray(d), jnp.asarray(lv)) ** 2))(pyr)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_fg_lut_sane():
     lut = shading.compute_fg_lut(64, 256)
     assert lut.shape == (64, 64, 2)
