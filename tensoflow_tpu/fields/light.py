@@ -51,7 +51,12 @@ def build_mips(params, cfg: EnvLightConfig):
         if lvl.shape[1] <= cfg.exact_ggx_max_res:
             lvl = cm.specular_cubemap(lvl, rough)
         specular.append(lvl)
-    return {'specular': specular, 'diffuse': diffuse}
+    # patch-packed gather tables: shade() does 2 wide gathers (specular
+    # trilinear) / 1 (diffuse) instead of 8 / 4 narrow ones
+    spec_packed, _, _ = cm.pack_cubemap_pyramid_patches(specular)
+    return {'specular': specular, 'diffuse': diffuse,
+            'spec_packed': spec_packed,
+            'diff_packed': cm.pack_cubemap_patches(diffuse)}
 
 
 def get_mip(roughness, n_levels: int, cfg: EnvLightConfig):
@@ -66,13 +71,32 @@ def shade(mips, dirs, roughness=None, cfg: EnvLightConfig = EnvLightConfig()):
     """Pre-filtered lookup (ref: light.py:95-122). dirs [N,3];
     roughness [N,1] or None (diffuse). Returns linear radiance [N,3]."""
     if roughness is None:
-        light = cm.sample_cubemap(mips['diffuse'], dirs)
+        if 'diff_packed' in mips:
+            light = cm.sample_cubemap_packed(
+                mips['diff_packed'], mips['diffuse'].shape[1], dirs)
+        else:
+            light = cm.sample_cubemap(mips['diffuse'], dirs)
     else:
         level = get_mip(roughness[:, 0], len(mips['specular']), cfg)
-        light = cm.sample_cubemap_mip(mips['specular'], dirs, level)
+        if 'spec_packed' in mips:
+            offs, ress, off = [], [], 0
+            for tex in mips['specular']:
+                f, r = tex.shape[0], tex.shape[1]
+                offs.append(off)
+                ress.append(r)
+                off += f * (r + 1) * (r + 1)
+            light = cm.sample_cubemap_mip_packed(
+                mips['spec_packed'], tuple(offs), tuple(ress), dirs, level)
+        else:
+            light = cm.sample_cubemap_mip(mips['specular'], dirs, level)
     return jnp.exp(light)
 
 
 def direct_light(params, dirs):
-    """Unfiltered base lookup for the MC shader (ref: light.py:125-162)."""
-    return jnp.exp(cm.sample_cubemap(params['base'], dirs))
+    """Unfiltered base lookup for the MC shader (ref: light.py:125-162).
+
+    Packs the base cubemap into patch rows per call — the pack is a few MB
+    of slicing amortized over the MC shader's millions of lookups."""
+    pbuf = cm.pack_cubemap_patches(params['base'])
+    return jnp.exp(cm.sample_cubemap_packed(pbuf, params['base'].shape[1],
+                                            dirs))

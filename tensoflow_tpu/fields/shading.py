@@ -25,7 +25,7 @@ from ..ops.math import (integrated_dir_encoding, ide_dim,
                         integrated_positional_encoding, linear_to_srgb,
                         positional_encoding, pe_dim, safe_normalize,
                         get_camera_plane_intersection)
-from ..ops.tensor_field import sample_bilinear_2d
+from ..ops.tensor_field import sample_bilinear_packed
 from . import light as envlight_mod
 from . import mlp
 
@@ -41,6 +41,18 @@ class ShadingConfig(NamedTuple):
     radiance_field_step: int = 0
     mat_pos_multires: int = -1
     env: envlight_mod.EnvLightConfig = envlight_mod.EnvLightConfig()
+
+
+@functools.lru_cache(maxsize=2)
+def compute_fg_lut_packed(res: int = 256, n_samples: int = 1024):
+    """compute_fg_lut as a patch_pack_2d row table: ((rows, 8), (H, W))."""
+    lut = compute_fg_lut(res, n_samples)
+    h, w, c = lut.shape
+    pad = np.pad(lut, ((1, 1), (1, 1), (0, 0)), mode='edge')
+    slots = [pad[d0:d0 + h + 1, d1:d1 + w + 1]
+             for d0 in (0, 1) for d1 in (0, 1)]
+    packed = np.concatenate(slots, -1).reshape((h + 1) * (w + 1), 4 * c)
+    return packed, (h, w)
 
 
 @functools.lru_cache(maxsize=2)
@@ -234,11 +246,15 @@ def apply_shading(params, cfg: ShadingConfig, mips, points, normals,
                       * (1.0 - occ_prob_c))
     indirect_out = indirect_light * occ_prob_c
 
-    # FG lookup (ref: fields.py:520-523); lut rows=roughness, cols=NoV
-    lut = jnp.asarray(compute_fg_lut())
-    fg_uv = jnp.concatenate([jnp.clip(roughness, 0.0, 1.0),
-                             jnp.clip(nov, 0.0, 1.0)], -1)
-    fg = sample_bilinear_2d(lut, fg_uv)
+    # FG lookup (ref: fields.py:520-523); lut rows=roughness, cols=NoV.
+    # Patch-packed: one wide gather instead of 4 narrow 2-channel ones
+    # (the LUT is static so the packing is a host-side constant).
+    lut_p, (res_h, res_w) = compute_fg_lut_packed()
+    lut_p = jnp.asarray(lut_p)
+    fg = sample_bilinear_packed(
+        lut_p, res_h, res_w,
+        jnp.clip(roughness[:, 0], 0.0, 1.0) * res_h - 0.5,
+        jnp.clip(nov[:, 0], 0.0, 1.0) * res_w - 0.5)
     specular_ref = specular_albedo * fg[:, 0:1] + fg[:, 1:2]
     specular_color = specular_ref * specular_light
 

@@ -352,10 +352,13 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         m = rn * compact
         src, slot_mask, dest = grid_mod.compact_indices(
             inner.reshape(-1), m)
-        s_pts = jnp.take(flat_pts, src, axis=0, mode='clip')
-        s_lv = jnp.take(flat_lv, src, axis=0, mode='clip')
-        s_dirs = jnp.take(flat_dirs, src, axis=0, mode='clip')
-        s_dists = jnp.take(dists.reshape(-1), src, axis=0, mode='clip')
+        # one WIDE gather for all per-sample columns (narrow per-column
+        # gathers pay the per-row cost 4x — round-2 trace finding)
+        cols = jnp.concatenate(
+            [flat_pts, flat_lv, flat_dirs, dists.reshape(-1, 1)], -1)
+        s_cols = jnp.take(cols, src, axis=0, mode='clip')
+        s_pts, s_lv = s_cols[:, 0:3], s_cols[:, 3:4]
+        s_dirs, s_dists = s_cols[:, 4:7], s_cols[:, 7]
         s_hp = (jnp.take(hp_full, src, axis=0, mode='clip')
                 if hp_full is not None else None)
     else:
@@ -384,29 +387,27 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         app_feat, s_hp, step=(step if radiance_on else None))
     sampled_color, sampled_radiance, occ_info = color_out[:3]
 
+    mask_f = inner.astype(alpha_s.dtype)
+    slot_f = slot_mask.astype(alpha_s.dtype)
     if compact:
-        alpha = grid_mod.scatter_back(alpha_s, dest).reshape(rn, sn)
-    else:
-        alpha = alpha_s.reshape(rn, sn)
-
-    mask_f = inner.astype(alpha.dtype)
-    slot_f = slot_mask.astype(alpha.dtype)
-    weights, trans = composite.weights_from_alpha(alpha, inner)
-    acc = composite.accumulate(weights)
-    if compact:
-        # accumulate in COMPACT space: gather per-slot weights once and
-        # segment-sum by ray id, instead of scattering every [M,3] value
-        # back to the padded [rn,sn] grid (round-2 trace: the scatter_back
-        # expansions cost ~13ms/step).
-        w_c = (jnp.take(weights.reshape(-1), src, mode='clip')
-               * slot_mask.astype(weights.dtype))
+        # composite entirely in COMPACT space: segmented transmittance +
+        # segment-sums by ray id.  No [rays, samples]-shaped tensor is
+        # materialized anywhere in the compacted train path (the padded
+        # grid is 3x the compact budget; scatter_back + dense cumprod cost
+        # ~20ms/step in the round-2 trace).
         ray_id = src // sn
+        w_c = composite.compact_weights(alpha_s, slot_mask, ray_id, rn)
+        acc = jax.ops.segment_sum(w_c, ray_id, num_segments=rn)[:, None]
 
         def acc_compact(vals):
-            return jax.ops.segment_sum(w_c[:, None] * vals, ray_id,
+            v2 = vals if vals.ndim > 1 else vals[:, None]
+            return jax.ops.segment_sum(w_c[:, None] * v2, ray_id,
                                        num_segments=rn)
         color = acc_compact(sampled_color)
     else:
+        weights, _ = composite.weights_from_alpha(
+            alpha_s.reshape(rn, sn), inner)
+        acc = composite.accumulate(weights)
         color = composite.accumulate(weights,
                                      sampled_color.reshape(rn, sn, 3))
     # background behind the foreground (ref: shapeRenderer.py:1178-1182)
@@ -483,7 +484,11 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
             outputs['loss_occ'] = jnp.zeros(())
 
     if eval_extras:
-        t_depth = composite.accumulate(weights, mid[..., None])
+        if compact:
+            t_depth = acc_compact(jnp.take(mid.reshape(-1), src,
+                                           mode='clip'))
+        else:
+            t_depth = composite.accumulate(weights, mid[..., None])
         outputs['depth'] = t_depth * rays_cos
         surf_pts = t_depth * dirs + rays_o
         sbr_d = compute_ball_radii(t_depth, radii, rays_cos)

@@ -35,6 +35,34 @@ def weights_from_alpha(alpha, mask=None):
     return alpha * trans, trans
 
 
+def compact_weights(alpha_c, slot_mask, ray_id, n_rays: int):
+    """Compositing weights directly on ray-major COMPACTED samples.
+
+    alpha_c [M] per-slot opacity; slot_mask [M] bool (invalid slots are
+    no-ops); ray_id [M] int32 (nondecreasing over valid slots — the stable
+    prefix compaction of a [rays, samples] grid guarantees this); n_rays
+    static.  Returns w_c [M] = alpha_i * prod_{j<i, same ray} (1-alpha_j),
+    zero at invalid slots.
+
+    Equivalent to scatter_back + weights_from_alpha on the padded grid
+    (up to the 1e-7 cumprod guard applied only at valid slots), without
+    materializing any [rays, samples] tensor: one flat cumsum of
+    log(1-alpha) plus a per-ray segment-start correction.
+    """
+    valid = slot_mask.astype(alpha_c.dtype)
+    a = alpha_c * valid
+    log_om = jnp.log(jnp.clip(1.0 - a, 0.0, 1.0) + 1e-7) * valid
+    cs = jnp.cumsum(log_om)
+    excl = cs - log_om                       # inclusive -> exclusive
+    counts = jax.ops.segment_sum(slot_mask.astype(jnp.int32), ray_id,
+                                 num_segments=n_rays)
+    first = jnp.cumsum(counts) - counts      # first slot index per ray
+    start = jnp.take(excl, jnp.minimum(first, excl.shape[0] - 1),
+                     mode='clip')            # log-trans before each ray
+    trans = jnp.exp(excl - jnp.take(start, ray_id, mode='clip'))
+    return a * trans * valid
+
+
 def accumulate(weights, values=None):
     """sum_i w_i * v_i along the sample axis.
 

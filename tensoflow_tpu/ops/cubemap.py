@@ -137,6 +137,66 @@ def sample_cubemap(cubemap, dirs):
             + fv * ((1 - fu) * g(v1i, u0i) + fu * g(v1i, u1i)))
 
 
+def pack_cubemap_patches(cubemap):
+    """[6,R,R,C] -> [6*(R+1)^2, 4C] per-face 2x2 patch rows (face-clamped).
+
+    Same row-packing trick as tensor_field.patch_pack_2d: the full bilinear
+    footprint in ONE gathered row (4 taps + 4 scatter-add VJPs -> 1 + 1)."""
+    f, r, _, c = cubemap.shape
+    pad = jnp.pad(cubemap, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    slots = [pad[:, d0:d0 + r + 1, d1:d1 + r + 1]
+             for d0 in (0, 1) for d1 in (0, 1)]
+    return jnp.concatenate(slots, -1).reshape(f * (r + 1) * (r + 1), 4 * c)
+
+
+def sample_cubemap_packed(pbuf, r, dirs, base=0):
+    """One-gather bilinear cubemap lookup on pack_cubemap_patches rows.
+
+    pbuf [6*(r+1)^2(+...), 4C]; r: int or [N] int32; dirs [N,3] -> [N,C].
+    Matches sample_cubemap exactly (rows indexed v-major like the flat
+    [6,R,R,C] layout)."""
+    from .tensor_field import sample_bilinear_packed
+    face, u, v = dir_to_cube_uv(dirs)
+    rf = r.astype(u.dtype) if not isinstance(r, int) else float(r)
+    fb = base + face * (r + 1) * (r + 1)
+    return sample_bilinear_packed(pbuf, r, r, v * rf - 0.5, u * rf - 0.5, fb)
+
+
+def pack_cubemap_pyramid_patches(pyramid):
+    """Pack every pyramid level's patch rows into one buffer.
+
+    Returns (pbuf, offsets tuple, res tuple) — offsets/res are python ints
+    (trace-time constants when built inside jit)."""
+    parts, offs, ress = [], [], []
+    off = 0
+    for tex in pyramid:
+        f, r, _, _ = tex.shape
+        parts.append(pack_cubemap_patches(tex))
+        offs.append(off)
+        ress.append(r)
+        off += f * (r + 1) * (r + 1)
+    return jnp.concatenate(parts, axis=0), tuple(offs), tuple(ress)
+
+
+def sample_cubemap_mip_packed(pbuf, offsets, ress, dirs, level):
+    """Trilinear cubemap lookup on a packed pyramid: 2 gathers total."""
+    n_levels = len(ress)
+    if n_levels == 1:
+        return sample_cubemap_packed(pbuf, ress[0], dirs, offsets[0])
+    offs_t = jnp.asarray(offsets, jnp.int32)
+    ress_t = jnp.asarray(ress, jnp.int32)
+    lv = jnp.clip(level, 0.0, n_levels - 1.0)
+    l0 = jnp.clip(jnp.floor(lv).astype(jnp.int32), 0, n_levels - 2)
+    frac = (lv - l0.astype(lv.dtype))[:, None]
+
+    def lookup(li):
+        off = jnp.take(offs_t, li, mode='clip')
+        r = jnp.take(ress_t, li, mode='clip')
+        return sample_cubemap_packed(pbuf, r, dirs, off)
+
+    return (1 - frac) * lookup(l0) + frac * lookup(l0 + 1)
+
+
 def sample_cubemap_mip(pyramid, dirs, level):
     """Trilinear (bilinear + mip lerp) cubemap lookup.
 

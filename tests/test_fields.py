@@ -148,6 +148,50 @@ def test_cubemap_mip_atlas_matches_dense_blend():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_packed_bilinear_matches_4tap():
+    """patch_pack_2d + sample_bilinear_packed == sample_bilinear_2d,
+    including out-of-range (clamped) coordinates."""
+    from tensoflow_tpu.ops import tensor_field as tf
+    rng = np.random.RandomState(5)
+    tex = jnp.asarray(rng.rand(17, 9, 3).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(-0.3, 1.3, (200, 2)).astype(np.float32))
+    want = np.asarray(tf.sample_bilinear_2d(tex, uv))
+    buf = tf.patch_pack_2d(tex)
+    got = np.asarray(tf.sample_bilinear_packed(
+        buf, 17, 9, uv[:, 0] * 17 - 0.5, uv[:, 1] * 9 - 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_cubemap_matches_dense():
+    rng = np.random.RandomState(6)
+    tex = jnp.asarray(rng.rand(6, 16, 16, 3).astype(np.float32))
+    d = rng.randn(300, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    want = np.asarray(cm.sample_cubemap(tex, d))
+    pbuf = cm.pack_cubemap_patches(tex)
+    got = np.asarray(cm.sample_cubemap_packed(pbuf, 16, d))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # packed mip pyramid vs per-level dense blend (+ gradient parity)
+    pyr = [tex, cm.cubemap_mip(tex)]
+    lv = jnp.asarray(rng.uniform(0.0, 1.0, (300,)).astype(np.float32))
+    want_m = np.asarray(cm.sample_cubemap_mip(pyr, d, lv))
+
+    def packed_mip(p):
+        buf, offs, ress = cm.pack_cubemap_pyramid_patches(p)
+        return cm.sample_cubemap_mip_packed(buf, offs, ress, d, lv)
+
+    got_m = np.asarray(packed_mip(pyr))
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-5, atol=1e-6)
+    g_got = jax.grad(lambda p: jnp.sum(packed_mip(p) ** 2))(pyr)
+    g_want = jax.grad(lambda p: jnp.sum(
+        cm.sample_cubemap_mip(p, d, lv) ** 2))(pyr)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_fg_lut_sane():
     lut = shading.compute_fg_lut(64, 256)
     assert lut.shape == (64, 64, 2)

@@ -29,6 +29,35 @@ def test_weights_mask_zeroes_invalid():
     assert (w[1] == 0).all()
 
 
+def test_compact_weights_matches_dense():
+    """Segmented compact-space weights == scatter_back + dense cumprod."""
+    rng = np.random.RandomState(1)
+    rn, sn, m = 6, 12, 40
+    alpha = rng.rand(rn, sn).astype(np.float32)
+    inner = rng.rand(rn, sn) < 0.6
+    inner[3] = False  # one fully-empty ray
+    src, slot_mask, dest = grid_mod.compact_indices(
+        jnp.asarray(inner.reshape(-1)), m)
+    alpha_c = jnp.take(jnp.asarray(alpha.reshape(-1)), src, mode='clip')
+    ray_id = src // sn
+    w_c = np.asarray(composite.compact_weights(alpha_c, slot_mask,
+                                               ray_id, rn))
+    # dense oracle
+    w_dense, _ = composite.weights_from_alpha(jnp.asarray(alpha),
+                                              jnp.asarray(inner))
+    w_dense = np.asarray(w_dense).reshape(-1)
+    src_np, mask_np = np.asarray(src), np.asarray(slot_mask)
+    np.testing.assert_allclose(w_c[mask_np], w_dense[src_np[mask_np]],
+                               rtol=1e-4, atol=1e-6)
+    assert (w_c[~mask_np] == 0).all()
+    # per-ray accumulation matches too
+    import jax
+    acc_c = np.asarray(jax.ops.segment_sum(jnp.asarray(w_c), ray_id,
+                                           num_segments=rn))
+    np.testing.assert_allclose(acc_c, w_dense.reshape(rn, sn).sum(1),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_neus_alpha_opaque_surface():
     """A sharp SDF crossing should give alpha ~1 at the crossing."""
     sdf = jnp.asarray([0.5, 0.1, -0.1, -0.5])
