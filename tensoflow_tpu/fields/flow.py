@@ -347,7 +347,8 @@ def flow_feature(params, cfg: FlowConfig, pts, aabb, refl_angles01,
     """Conditioning feature (ref: flow.py:709-744, 801-816):
     VM field -> MLP(16) ‖ PE(reflection angles) ‖ zeroed roughness embed."""
     xyz01 = contraction(pts, aabb)
-    feats = tfield.vm_features(params['field'], xyz01, None, cfg.n_levels)
+    packed = tfield.pack_vm_field(params['field'], cfg.n_levels)
+    feats = tfield.vm_features_packed(packed, xyz01, None)
     if cfg.nis_multires > 0:
         xyz_in = positional_encoding(pts, cfg.nis_multires)
     else:

@@ -141,9 +141,11 @@ def init_mc_shading(rng, cfg: MCShadingConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def tenso_feature(params, cfg: MCShadingConfig, pts, aabb):
+    # packed patch atlas: 6 wide gathers per eval, pyramids built once
+    # (XLA CSEs the repeated pack within a step program)
+    packed = tfield.pack_vm_field(params['mat_field'], cfg.mat_n_levels)
     xyz01 = contraction(pts, aabb)
-    return tfield.vm_features(params['mat_field'], xyz01, None,
-                              cfg.mat_n_levels)
+    return tfield.vm_features_packed(packed, xyz01, None)
 
 
 def predict_materials(params, cfg: MCShadingConfig, pts, aabb):

@@ -307,6 +307,10 @@ def pack_vm_field(field: FieldParams, n_levels: int = 1,
                   gather_dtype=None) -> PackedVMField:
     """Build the atlas: all planes, lines, and mip levels, one buffer.
 
+    Rows are 2x2 PATCH rows ([4C] per plane texel anchor, [2C texels +
+    2C zero pad] per line anchor — see patch_pack_2d), so every bilinear
+    is ONE gathered row and every line lerp is one row: 6 gathers per
+    point eval instead of 18 (TPU gathers pay per ROW; round-2 trace).
     Differentiable w.r.t. the field params; call once per train step."""
     parts = []
     offset = 0
@@ -316,69 +320,49 @@ def pack_vm_field(field: FieldParams, n_levels: int = 1,
         offs, shps = [], []
         for tex in pyr:
             h, w, _ = tex.shape
-            parts.append(tex.reshape(h * w, -1))
+            parts.append(patch_pack_2d(tex))
             offs.append(offset)
             shps.append((h, w))
-            offset += h * w
+            offset += (h + 1) * (w + 1)
         p_offs.append(tuple(offs))
         p_shapes.append(tuple(shps))
     for i in range(3):
         pyr = build_pyramid_1d(field['lines'][i], n_levels)
         offs, lens = [], []
         for tex in pyr:
-            l = tex.shape[0]
-            parts.append(tex)
+            l, c = tex.shape
+            pad = jnp.pad(tex, ((1, 1), (0, 0)), mode='edge')
+            row = jnp.concatenate([pad[0:l + 1], pad[1:l + 2]], -1)
+            parts.append(jnp.pad(row, ((0, 0), (0, 2 * c))))
             offs.append(offset)
             lens.append(l)
-            offset += l
+            offset += l + 1
         l_offs.append(tuple(offs))
         l_lens.append(tuple(lens))
     buf = jnp.concatenate(parts, axis=0)
     if gather_dtype is not None:
         buf = buf.astype(gather_dtype)
     meta = PackedMeta(tuple(p_offs), tuple(p_shapes), tuple(l_offs),
-                      tuple(l_lens), n_levels, int(buf.shape[-1]))
+                      tuple(l_lens), n_levels,
+                      int(field['planes'][0].shape[-1]))
     return PackedVMField(buf, meta)
 
 
-def _take_rows(buffer, idx):
-    """One row gather [N] -> [N, C] f32.
-
-    TPU layout note (round-2 HLO finding): a SINGLE fused gather of
-    [N*rows] indices forces XLA to relayout/transpose the [N*rows, C]
-    result (a GB-scale while-loop copy). Many small [N]-index gathers,
-    each consumed in row-major layout by weighted sums and split-K
-    matmuls, never transpose — ~0.5ns/row measured on v5e."""
-    return jnp.take(buffer, idx, axis=0, mode='clip').astype(jnp.float32)
-
-
 def _bilinear_take(buffer, base, h, w, ut, vt):
-    """Clamped bilinear lookup on the atlas at continuous texel coords.
-    base/h/w: python ints or [N] arrays (dynamic mip). -> [N, C] f32."""
-    u0 = jnp.floor(ut)
-    v0 = jnp.floor(vt)
-    fu = (ut - u0)[:, None]
-    fv = (vt - v0)[:, None]
-    u0i = jnp.clip(u0.astype(jnp.int32), 0, h - 1)
-    u1i = jnp.clip(u0.astype(jnp.int32) + 1, 0, h - 1)
-    v0i = jnp.clip(v0.astype(jnp.int32), 0, w - 1)
-    v1i = jnp.clip(v0.astype(jnp.int32) + 1, 0, w - 1)
-    r00 = _take_rows(buffer, base + u0i * w + v0i)
-    r01 = _take_rows(buffer, base + u0i * w + v1i)
-    r10 = _take_rows(buffer, base + u1i * w + v0i)
-    r11 = _take_rows(buffer, base + u1i * w + v1i)
-    return ((1 - fu) * ((1 - fv) * r00 + fv * r01)
-            + fu * ((1 - fv) * r10 + fv * r11))
+    """Clamped bilinear lookup on the patch atlas at continuous texel
+    coords.  base/h/w: python ints or [N] arrays (dynamic mip).
+    One gathered [4C] row -> [N, C] f32."""
+    return sample_bilinear_packed(buffer, h, w, ut, vt, base)
 
 
 def _linear_take(buffer, base, l, xt):
-    """Clamped linear lookup on the atlas. -> [N, C] f32."""
+    """Clamped linear lookup on the patch atlas. One row -> [N, C] f32."""
     x0 = jnp.floor(xt)
     f = (xt - x0)[:, None]
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, l - 1)
-    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, l - 1)
-    return ((1 - f) * _take_rows(buffer, base + x0i)
-            + f * _take_rows(buffer, base + x1i))
+    a = jnp.clip(x0.astype(jnp.int32) + 1, 0, l)
+    rows = jnp.take(buffer, base + a, axis=0, mode='clip')
+    c = rows.shape[-1] // 4
+    return ((1 - f) * rows[:, :c] + f * rows[:, c:2 * c]).astype(jnp.float32)
 
 
 def _level_branches(meta: PackedMeta, level, n):
@@ -387,7 +371,7 @@ def _level_branches(meta: PackedMeta, level, n):
     Returns [(l0 [N] int32 or int, weight [N] f32), ...] with at most two
     branches; equivalent to the triangle-weight blend over all levels
     (only floor/ceil have nonzero weight)."""
-    if meta.n_levels == 1:
+    if meta.n_levels == 1 or level is None:
         return [(0, None)]
     lv = jnp.clip(jnp.reshape(level, (n,)), 0.0, meta.n_levels - 1.0)
     l0 = jnp.clip(jnp.floor(lv).astype(jnp.int32), 0, meta.n_levels - 2)
