@@ -33,6 +33,7 @@ def timeit(fn, args_list, iters=8, windows=3):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     impl = sys.argv[2] if len(sys.argv) > 2 else 'auto'
+    tile = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
@@ -42,7 +43,7 @@ def main():
     cfg = tenso_sdf.SDFConfig(grid_size=(128, 128, 128), n_comp=36,
                               sdf_dim=256, app_dim=128, sdf_multires=3,
                               n_levels=1, gather_dtype='bfloat16',
-                              stencil_impl=impl)
+                              stencil_impl=impl, stencil_tile=tile)
     params = tenso_sdf.init_tenso_sdf(jax.random.PRNGKey(0), cfg)
     aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
 

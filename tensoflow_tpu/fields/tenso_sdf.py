@@ -41,6 +41,7 @@ class SDFConfig(NamedTuple):
     # auto = fused Pallas kernel on TPU, XLA elsewhere; 'pallas' on a
     # non-TPU backend runs the kernel in interpret mode (tests).
     stencil_impl: str = 'auto'
+    stencil_tile: int = 256      # Pallas head rows per grid step
 
 
 def units(cfg: SDFConfig, aabb) -> jnp.ndarray:
@@ -164,6 +165,33 @@ def _stencil_delta01(cfg: SDFConfig):
     return [1.0 / g for g in cfg.grid_size]
 
 
+def _pe_rot_table(offs, n_freqs: int):
+    """Linear-combination table expressing PE(x + off) from PE(x).
+
+    offs [S, 3] per-stencil-point coordinate offsets.  For the layout
+    [x(3), sin(2^i x)(3), cos(2^i x)(3), ...] (ops/math.positional_encoding)
+    the trig addition formulas give, per stencil point s:
+        pe_s = pe*A0 + roll(pe,-3)*A1 + roll(pe,+3)*A2 + A3
+    (roll along lanes; wrapped lanes carry zero coefficients).  Returns
+    [S, 4, E] f32.  This keeps the kernel input at ONE center PE instead
+    of S of them — the [7,N,E] PE pipeline cost ~18ms/step in layout
+    copies and transposes (round-2 trace)."""
+    s_pts = offs.shape[0]
+    f = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)       # [F]
+    ang = offs[:, None, :] * f[None, :, None]               # [S, F, 3]
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    ones3 = jnp.ones((s_pts, 3), jnp.float32)
+    zeros3 = jnp.zeros((s_pts, 3), jnp.float32)
+    a0, a1, a2, a3 = [ones3], [zeros3], [zeros3], [offs]
+    for i in range(n_freqs):
+        a0 += [c[:, i], c[:, i]]
+        a1 += [s[:, i], zeros3]
+        a2 += [zeros3, -s[:, i]]
+        a3 += [zeros3, zeros3]
+    return jnp.stack([jnp.concatenate(x, -1)
+                      for x in (a0, a1, a2, a3)], axis=1)   # [S, 4, E]
+
+
 def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
                           with_hessian: bool = True, packed=None):
     """SDF + app features + FD gradient (+ normal-projected hessian).
@@ -180,21 +208,10 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
     d01 = _stencil_delta01(cfg)
     xyz01 = contraction(xyz, aabb)
 
-    # embedded coords of the 7 stencil points, stencil-major [7, N, E]
     offs01 = np.zeros((7, 3), np.float32)
     for a in range(3):
         offs01[1 + 2 * a, a] = d01[a]
         offs01[2 + 2 * a, a] = -d01[a]
-    if cfg.sdf_multires > 0:
-        if cfg.sdf_multires == 3:
-            pe_in = xyz01[None] + jnp.asarray(offs01)[:, None, :]
-        else:
-            offs_w = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
-            pe_in = xyz[None] + offs_w[:, None, :]
-        xyz_in = positional_encoding(pe_in, cfg.sdf_multires)
-    else:
-        offs_w = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
-        xyz_in = xyz[None] + offs_w[:, None, :]
 
     cd = _compute_dtype(cfg)
     w1 = params['mlp'][1]['w']
@@ -213,18 +230,43 @@ def sdf_with_grad_hessian(params, cfg: SDFConfig, xyz, aabb, level=None,
         atlas = tfield.pack_vm_patches(params['field'], cfg.n_levels, gd)
         pp, lp, fr, sigmas = tfield.vm_patch_gather(atlas, xyz01, d01,
                                                     level)
+        # center-point PE only; the kernel derives the 6 offset PEs from
+        # the rotation table (trig addition — see _pe_rot_table)
+        if cfg.sdf_multires > 0:
+            if cfg.sdf_multires == 3:
+                pe_c = positional_encoding(xyz01, cfg.sdf_multires)
+                offs = jnp.asarray(offs01)
+            else:
+                pe_c = positional_encoding(xyz, cfg.sdf_multires)
+                offs = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
+            rot = _pe_rot_table(offs, cfg.sdf_multires)
+        else:
+            pe_c = xyz
+            offs = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
+            rot = _pe_rot_table(offs, 0)
         C = cfg.n_comp
         w0 = params['mlp'][0]['w']
         w0_parts = (w0[:C], w0[C:2 * C], w0[2 * C:3 * C], w0[3 * C:])
         interpret = jax.default_backend() != 'tpu'
         out_c, s_off6 = pallas_stencil.stencil_head(
             [p for row in pp for p in row], [l for row in lp for l in row],
-            fr, sigmas, xyz_in, w0_parts, params['mlp'][0]['b'], w1, b1,
-            interpret=interpret)
+            fr, sigmas, pe_c, rot, w0_parts, params['mlp'][0]['b'], w1, b1,
+            tile=cfg.stencil_tile, interpret=interpret)
         sdf = out_c[:, 0]
         app = out_c[:, 1:]
         s = s_off6.reshape(3, 2, n)             # [axis, (+,-), N]
     else:
+        # embedded coords of the 7 stencil points, stencil-major [7, N, E]
+        if cfg.sdf_multires > 0:
+            if cfg.sdf_multires == 3:
+                pe_in = xyz01[None] + jnp.asarray(offs01)[:, None, :]
+            else:
+                offs_w = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
+                pe_in = xyz[None] + offs_w[:, None, :]
+            xyz_in = positional_encoding(pe_in, cfg.sdf_multires)
+        else:
+            offs_w = jnp.asarray(offs01) * (aabb[1] - aabb[0])[None, :]
+            xyz_in = xyz[None] + offs_w[:, None, :]
         # list of 3 arrays [7, N, C] (dedup'ed lookups, split per plane)
         feats = tfield.vm_stencil_features_split(packed, xyz01, d01, level)
         h = _mlp_head(params, cfg,

@@ -179,7 +179,9 @@ def pack_cubemap_pyramid_patches(pyramid):
 
 
 def sample_cubemap_mip_packed(pbuf, offsets, ress, dirs, level):
-    """Trilinear cubemap lookup on a packed pyramid: 2 gathers total."""
+    """Trilinear cubemap lookup on a packed pyramid: ONE fused gather
+    (both adjacent levels' indices concatenated — each gather's index
+    vector costs an async relayout copy on TPU, so pay it once)."""
     n_levels = len(ress)
     if n_levels == 1:
         return sample_cubemap_packed(pbuf, ress[0], dirs, offsets[0])
@@ -188,13 +190,35 @@ def sample_cubemap_mip_packed(pbuf, offsets, ress, dirs, level):
     lv = jnp.clip(level, 0.0, n_levels - 1.0)
     l0 = jnp.clip(jnp.floor(lv).astype(jnp.int32), 0, n_levels - 2)
     frac = (lv - l0.astype(lv.dtype))[:, None]
+    face, u, v = dir_to_cube_uv(dirs)
+    n = dirs.shape[0]
 
-    def lookup(li):
+    def idx_weights(li):
         off = jnp.take(offs_t, li, mode='clip')
         r = jnp.take(ress_t, li, mode='clip')
-        return sample_cubemap_packed(pbuf, r, dirs, off)
+        rf = r.astype(u.dtype)
+        t0 = v * rf - 0.5
+        t1 = u * rf - 0.5
+        f0 = jnp.floor(t0)
+        f1 = jnp.floor(t1)
+        a0 = jnp.clip(f0.astype(jnp.int32) + 1, 0, r)
+        a1 = jnp.clip(f1.astype(jnp.int32) + 1, 0, r)
+        idx = off + face * (r + 1) * (r + 1) + a0 * (r + 1) + a1
+        return idx, (t0 - f0)[:, None], (t1 - f1)[:, None]
 
-    return (1 - frac) * lookup(l0) + frac * lookup(l0 + 1)
+    i0, wa0, wa1 = idx_weights(l0)
+    i1, wb0, wb1 = idx_weights(l0 + 1)
+    rows = jnp.take(pbuf, jnp.concatenate([i0, i1]), axis=0, mode='clip')
+    c = rows.shape[-1] // 4
+
+    def lerp(r, w0, w1):
+        return (((1 - w0) * (1 - w1)) * r[:, :c]
+                + ((1 - w0) * w1) * r[:, c:2 * c]
+                + (w0 * (1 - w1)) * r[:, 2 * c:3 * c]
+                + (w0 * w1) * r[:, 3 * c:])
+
+    return ((1 - frac) * lerp(rows[:n], wa0, wa1)
+            + frac * lerp(rows[n:], wb0, wb1))
 
 
 def sample_cubemap_mip(pyramid, dirs, level):

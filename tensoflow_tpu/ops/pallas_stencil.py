@@ -178,21 +178,39 @@ def _variants(P, L, fr, S, B, C, sigmas):
 # forward
 # ---------------------------------------------------------------------------
 
+def _pe_offsets(pe, rot, S):
+    """Derive the S stencil-point PEs from the center PE via the
+    [S,4,E] linear-combination table (see tenso_sdf._pe_rot_table).
+    pe [TN,E] f32; returns list of S [TN,E] f32."""
+    if S == 1:
+        return [pe]
+    e = pe.shape[-1]
+    pe_m3 = jnp.concatenate([pe[:, 3:], pe[:, :3]], axis=1)   # roll -3
+    pe_p3 = jnp.concatenate([pe[:, e - 3:], pe[:, :e - 3]], axis=1)
+    out = [pe]
+    for s in range(1, S):
+        out.append(pe * rot[s, 0] + pe_m3 * rot[s, 1]
+                   + pe_p3 * rot[s, 2] + rot[s, 3])
+    return out
+
+
 def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     """refs in: fr [TN,2FS], P (B*3 [TN,16C]), L (B*3 [TN,4C]),
-    pe [S,TN,E], w0big [4*SLOT,H], b0 [1,H], w1 [H,O], (w1col [H,SLOT]);
-    out: out_c [TN,O] f32, (out_off [(S-1)TN,SLOT] f32); scratch X."""
+    pe [TN,E], rot [S,4,E], w0big [4*SLOT,H], b0 [1,H], w1 [H,O],
+    (w1row [1,H]);
+    out: out_c [TN,O] f32, (out_off [S-1,TN] f32); scratch X."""
     k = 0
     fr = refs[k]; k += 1
     P = refs[k:k + 3 * B]; k += 3 * B
     L = refs[k:k + 3 * B]; k += 3 * B
     pe = refs[k]; k += 1
+    rot = refs[k]; k += 1
     w0big = refs[k]; k += 1
     b0 = refs[k]; k += 1
     w1 = refs[k]; k += 1
-    w1col = None
+    w1row = None
     if S > 1:
-        w1col = refs[k]; k += 1
+        w1row = refs[k]; k += 1
     out_c = refs[k]; k += 1
     out_off = None
     if S > 1:
@@ -200,6 +218,7 @@ def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     X = refs[k]
 
     PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
+    pes = _pe_offsets(pe[:].astype(jnp.float32), rot[:], S)
     X[:] = jnp.zeros_like(X)
     for s in range(S):
         rows = slice(s * TN, (s + 1) * TN)
@@ -207,13 +226,17 @@ def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
             pv, lv = mapping[s][i]
             X[rows, i * SLOT:i * SLOT + C] = (
                 PV[i][pv] * LV[i][lv]).astype(X.dtype)
-        X[rows, 3 * SLOT:3 * SLOT + E] = pe[s].astype(X.dtype)
+        X[rows, 3 * SLOT:3 * SLOT + E] = pes[s].astype(X.dtype)
     z = _dot(X[:], w0big[:]) + b0[:]            # [S*TN, H] f32
     h = _softplus100(z).astype(cd)
     out_c[:] = _dot(h[:TN], w1[:])
     if S > 1:
-        # only lane 0 of w1col is nonzero -> out_off[:, 0] = sdf column
-        out_off[:] = _dot(h[TN:], w1col[:])
+        # offset points only need the sdf column: a VPU lane-reduce
+        # against w1's first column, NOT an MXU dot into a 128-lane-wide
+        # output (that wrote 400MB/step of zero lanes to HBM)
+        hh = h[TN:].astype(jnp.float32).reshape(S - 1, TN, -1)
+        out_off[:] = jnp.sum(hh * w1row[:].astype(jnp.float32)[None],
+                             axis=-1)
 
 
 def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
@@ -223,17 +246,17 @@ def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
     in_specs = [pl.BlockSpec((TN, 2 * FS), lambda t: (t, 0))]
     in_specs += [pl.BlockSpec((TN, 16 * C), lambda t: (t, 0))] * (3 * B)
     in_specs += [pl.BlockSpec((TN, 4 * C), lambda t: (t, 0))] * (3 * B)
-    in_specs.append(pl.BlockSpec((S, TN, E), lambda t: (0, t, 0)))
+    in_specs.append(pl.BlockSpec((TN, E), lambda t: (t, 0)))
+    in_specs.append(const((S, 4, E)))
     in_specs += [const((4 * SLOT, H)), const((1, H)), const((H, O))]
     if S > 1:
-        in_specs.append(const((H, SLOT)))
+        in_specs.append(const((1, H)))
     out_shapes = [jax.ShapeDtypeStruct((N, O), jnp.float32)]
     out_specs = [pl.BlockSpec((TN, O), lambda t: (t, 0))]
     if S > 1:
         out_shapes.append(
-            jax.ShapeDtypeStruct(((S - 1) * N, SLOT), jnp.float32))
-        out_specs.append(pl.BlockSpec(((S - 1) * TN, SLOT),
-                                      lambda t: (t, 0)))
+            jax.ShapeDtypeStruct((S - 1, N), jnp.float32))
+        out_specs.append(pl.BlockSpec((S - 1, TN), lambda t: (0, t)))
     kern = functools.partial(_fwd_kernel, S=S, TN=TN, B=B, C=C, E=E,
                              sigmas=sigmas, mapping=mapping, cd=cd)
     return pl.pallas_call(
@@ -258,12 +281,13 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     P = refs[k:k + 3 * B]; k += 3 * B
     L = refs[k:k + 3 * B]; k += 3 * B
     pe = refs[k]; k += 1
+    rot = refs[k]; k += 1
     w0big = refs[k]; k += 1
     b0 = refs[k]; k += 1
     w1 = refs[k]; k += 1
-    w1col = None
+    w1row = None
     if S > 1:
-        w1col = refs[k]; k += 1
+        w1row = refs[k]; k += 1
     g_c = refs[k]; k += 1
     g_off = None
     if S > 1:
@@ -274,9 +298,9 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     dw0big = refs[k]; k += 1
     db0 = refs[k]; k += 1
     dw1 = refs[k]; k += 1
-    dw1col = None
+    dw1row = None
     if S > 1:
-        dw1col = refs[k]; k += 1
+        dw1row = refs[k]; k += 1
     X = refs[k]; k += 1
     dX = refs[k]
 
@@ -285,11 +309,12 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
         dw0big[:] = jnp.zeros_like(dw0big)
         db0[:] = jnp.zeros_like(db0)
         dw1[:] = jnp.zeros_like(dw1)
-        if dw1col is not None:
-            dw1col[:] = jnp.zeros_like(dw1col)
+        if dw1row is not None:
+            dw1row[:] = jnp.zeros_like(dw1row)
 
     # recompute forward to the activations
     PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
+    pes = _pe_offsets(pe[:].astype(jnp.float32), rot[:], S)
     X[:] = jnp.zeros_like(X)
     for s in range(S):
         rows = slice(s * TN, (s + 1) * TN)
@@ -297,7 +322,7 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
             pv, lv = mapping[s][i]
             X[rows, i * SLOT:i * SLOT + C] = (
                 PV[i][pv] * LV[i][lv]).astype(X.dtype)
-        X[rows, 3 * SLOT:3 * SLOT + E] = pe[s].astype(X.dtype)
+        X[rows, 3 * SLOT:3 * SLOT + E] = pes[s].astype(X.dtype)
     z = _dot(X[:], w0big[:]) + b0[:]
     h = _softplus100(z).astype(cd)
 
@@ -306,9 +331,12 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     dw1[:] += _dot_t(h[:TN], gc)
     dh_c = _dot_rt(gc, w1[:])                   # [TN, H] f32
     if S > 1:
-        go = g_off[:].astype(cd)                # [(S-1)*TN, SLOT], lane 0
-        dw1col[:] += _dot_t(h[TN:], go)
-        dh_off = _dot_rt(go, w1col[:])          # [(S-1)*TN, H]
+        # offset cotangents arrive as [S-1, TN] (sdf column only)
+        go3 = g_off[:].astype(jnp.float32)[:, :, None]   # [S-1, TN, 1]
+        h3 = h[TN:].astype(jnp.float32).reshape(S - 1, TN, -1)
+        dw1row[:] += jnp.sum(h3 * go3, axis=(0, 1))[None, :]
+        w1r = w1row[:].astype(jnp.float32)               # [1, H]
+        dh_off = (go3 * w1r[None]).reshape((S - 1) * TN, -1)
         dh = jnp.concatenate([dh_c, dh_off], axis=0)
     else:
         dh = dh_c
@@ -322,6 +350,8 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     n_lv = 3 if S > 1 else 1
     dPV = [[None] * n_pv for _ in range(3)]
     dLV = [[None] * n_lv for _ in range(3)]
+    dpe_acc = None
+    e = E
     for s in range(S):
         rows = slice(s * TN, (s + 1) * TN)
         for i in range(3):
@@ -331,7 +361,18 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
             dl = dxi * PV[i][pv]
             dPV[i][pv] = dp if dPV[i][pv] is None else dPV[i][pv] + dp
             dLV[i][lv] = dl if dLV[i][lv] is None else dLV[i][lv] + dl
-        dpe[s] = dX[rows, 3 * SLOT:3 * SLOT + E].astype(dpe.dtype)
+        g_s = dX[rows, 3 * SLOT:3 * SLOT + E]
+        if s == 0:
+            dpe_acc = g_s
+        else:
+            # adjoint of pe_s = pe*A0 + roll(pe,-3)*A1 + roll(pe,+3)*A2
+            t0 = g_s * rot[s, 0]
+            t1 = g_s * rot[s, 1]
+            t2 = g_s * rot[s, 2]
+            t1r = jnp.concatenate([t1[:, e - 3:], t1[:, :e - 3]], axis=1)
+            t2r = jnp.concatenate([t2[:, 3:], t2[:, :3]], axis=1)
+            dpe_acc = dpe_acc + t0 + t1r + t2r
+    dpe[:] = dpe_acc.astype(dpe.dtype)
 
     # hat weights route variant cotangents back to patch slots
     for b in range(B):
@@ -386,21 +427,21 @@ def _build_bwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
                                        lambda t: tuple(0 for _ in shape))
     p_spec = pl.BlockSpec((TN, 16 * C), lambda t: (t, 0))
     l_spec = pl.BlockSpec((TN, 4 * C), lambda t: (t, 0))
-    pe_spec = pl.BlockSpec((S, TN, E), lambda t: (0, t, 0))
+    pe_spec = pl.BlockSpec((TN, E), lambda t: (t, 0))
     in_specs = [pl.BlockSpec((TN, 2 * FS), lambda t: (t, 0))]
     in_specs += [p_spec] * (3 * B) + [l_spec] * (3 * B)
     in_specs.append(pe_spec)
+    in_specs.append(const((S, 4, E)))
     in_specs += [const((4 * SLOT, H)), const((1, H)), const((H, O))]
     if S > 1:
-        in_specs.append(const((H, SLOT)))
+        in_specs.append(const((1, H)))
     in_specs.append(pl.BlockSpec((TN, O), lambda t: (t, 0)))
     if S > 1:
-        in_specs.append(pl.BlockSpec(((S - 1) * TN, SLOT),
-                                     lambda t: (t, 0)))
+        in_specs.append(pl.BlockSpec((S - 1, TN), lambda t: (0, t)))
 
     out_shapes = ([jax.ShapeDtypeStruct((N, 16 * C), cd)] * (3 * B)
                   + [jax.ShapeDtypeStruct((N, 4 * C), cd)] * (3 * B)
-                  + [jax.ShapeDtypeStruct((S, N, E), cd),
+                  + [jax.ShapeDtypeStruct((N, E), jnp.float32),
                      jax.ShapeDtypeStruct((4 * SLOT, H), jnp.float32),
                      jax.ShapeDtypeStruct((1, H), jnp.float32),
                      jax.ShapeDtypeStruct((H, O), jnp.float32)])
@@ -408,8 +449,8 @@ def _build_bwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
                  + [pe_spec, const((4 * SLOT, H)), const((1, H)),
                     const((H, O))])
     if S > 1:
-        out_shapes.append(jax.ShapeDtypeStruct((H, SLOT), jnp.float32))
-        out_specs.append(const((H, SLOT)))
+        out_shapes.append(jax.ShapeDtypeStruct((1, H), jnp.float32))
+        out_specs.append(const((1, H)))
     kern = functools.partial(_bwd_kernel, S=S, TN=TN, B=B, C=C, E=E,
                              sigmas=sigmas, mapping=mapping, cd=cd)
     return pl.pallas_call(
@@ -444,28 +485,12 @@ def _w0big(w0_parts, H, cd):
     return jnp.concatenate(rows, axis=0).astype(cd)
 
 
-def _off_expand(out_off, S, n, n_pad, TN):
-    """[(S-1)*n_pad, SLOT] kernel output -> [S-1, n] sdf columns.
-
-    Kernel rows are tile-major: row = t*(S-1)*TN + s*TN + r."""
-    col = out_off[:, 0].reshape(n_pad // TN, S - 1, TN)
-    return jnp.transpose(col, (1, 0, 2)).reshape(S - 1, n_pad)[:, :n]
-
-
-def _off_collapse(g_off, S, n, n_pad, TN):
-    """[S-1, n] cotangent -> [(S-1)*n_pad, SLOT] lane-0 kernel input."""
-    g = jnp.pad(g_off, [(0, 0), (0, n_pad - n)])
-    g = jnp.transpose(g.reshape(S - 1, n_pad // TN, TN), (1, 0, 2))
-    g = g.reshape((S - 1) * n_pad, 1)
-    return jnp.pad(g, [(0, 0), (0, SLOT - 1)]).astype(jnp.float32)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _head(static, pp, lp, fr, pe, w0_parts, b0, w1):
-    return _head_fwd(static, pp, lp, fr, pe, w0_parts, b0, w1)[0]
+def _head(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
+    return _head_fwd(static, pp, lp, fr, pe, rot, w0_parts, b0, w1)[0]
 
 
-def _prep(static, pp, lp, fr, pe, w0_parts, b0, w1):
+def _prep(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
     S, TN, cd_name, B, C, sigmas, interpret = static
     cd = jnp.dtype(cd_name)
     n = fr.shape[0]
@@ -477,42 +502,41 @@ def _prep(static, pp, lp, fr, pe, w0_parts, b0, w1):
     args = [_pad_rows(fr.astype(jnp.float32), n_pad)]
     args += [_pad_rows(x.astype(cd), n_pad) for x in pp]
     args += [_pad_rows(x.astype(cd), n_pad) for x in lp]
-    pep = pe.astype(cd)
-    if pep.shape[1] != n_pad:
-        pep = jnp.pad(pep, [(0, 0), (0, n_pad - pep.shape[1]), (0, 0)])
-    args.append(pep)
+    args.append(_pad_rows(pe.astype(cd), n_pad))
+    args.append(rot.astype(jnp.float32))
     args += [_w0big(w0_parts, H, cd),
              b0.reshape(1, H).astype(jnp.float32), w1.astype(cd)]
     if S > 1:
-        w1col = jnp.pad(w1[:, :1], [(0, 0), (0, SLOT - 1)])
-        args.append(w1col.astype(cd))
+        args.append(w1[:, 0].reshape(1, H).astype(cd))
     return cd, n, n_pad, E, H, O, mapping, args
 
 
-def _head_fwd(static, pp, lp, fr, pe, w0_parts, b0, w1):
+def _head_fwd(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
     S, TN, cd_name, B, C, sigmas, interpret = static
     cd, n, n_pad, E, H, O, mapping, args = _prep(
-        static, pp, lp, fr, pe, w0_parts, b0, w1)
+        static, pp, lp, fr, pe, rot, w0_parts, b0, w1)
     fwd = _build_fwd(S, n_pad, TN, B, C, E, H, O, cd, sigmas, mapping,
                      interpret)
     outs = fwd(*args)
     if S > 1:
-        res = (outs[0][:n], _off_expand(outs[1], S, n, n_pad, TN))
+        res = (outs[0][:n], outs[1][:, :n])
     else:
         res = (outs[0][:n], None)
-    return res, (pp, lp, fr, pe, w0_parts, b0, w1)
+    return res, (pp, lp, fr, pe, rot, w0_parts, b0, w1)
 
 
 def _head_bwd(static, residuals, cot):
     S, TN, cd_name, B, C, sigmas, interpret = static
-    pp, lp, fr, pe, w0_parts, b0, w1 = residuals
+    pp, lp, fr, pe, rot, w0_parts, b0, w1 = residuals
     cd, n, n_pad, E, H, O, mapping, args = _prep(
-        static, pp, lp, fr, pe, w0_parts, b0, w1)
+        static, pp, lp, fr, pe, rot, w0_parts, b0, w1)
     g_c, g_off = cot
     args.append(_pad_rows(g_c.astype(jnp.float32), n_pad))
     if S > 1:
-        args.append(_off_collapse(g_off.astype(jnp.float32), S, n, n_pad,
-                                  TN))
+        g = g_off.astype(jnp.float32)
+        if g.shape[1] != n_pad:
+            g = jnp.pad(g, [(0, 0), (0, n_pad - g.shape[1])])
+        args.append(g)
     bwd = _build_bwd(S, n_pad, TN, B, C, E, H, O, cd, sigmas, mapping,
                      interpret)
     outs = bwd(*args)
@@ -523,7 +547,7 @@ def _head_bwd(static, residuals, cot):
     dlp = tuple(outs[k + j][:n].astype(lp[j].dtype)
                 for j in range(3 * B))
     k += 3 * B
-    dpe = outs[k][:, :n].astype(pe.dtype); k += 1
+    dpe = outs[k][:n].astype(pe.dtype); k += 1
     dw0big = outs[k]; k += 1
     dw0 = []
     for j, w in enumerate(w0_parts):
@@ -531,9 +555,11 @@ def _head_bwd(static, residuals, cot):
     db0 = outs[k][0].astype(b0.dtype); k += 1
     dw1 = outs[k].astype(w1.dtype); k += 1
     if S > 1:
-        dw1 = dw1.at[:, 0].add(outs[k][:, 0].astype(w1.dtype))
+        dw1 = dw1.at[:, 0].add(outs[k][0].astype(w1.dtype))
     dfr = jnp.zeros_like(fr)    # fracs/sigmas are stop-gradient coords
-    return dpp, dlp, dfr, dpe, tuple(dw0), db0, dw1
+    # rot is a pure function of static stencil offsets — no grads
+    return (dpp, dlp, dfr, dpe, jnp.zeros_like(rot), tuple(dw0), db0,
+            dw1)
 
 
 _head.defvjp(_head_fwd, _head_bwd)
@@ -546,19 +572,21 @@ def _static_cfg(S, pp, lp, fr, sigmas, tile, interpret):
     return (S, tile, jnp.dtype(cd).name, B, C, tuple(sigmas), interpret)
 
 
-def stencil_head(pp, lp, fr, sigmas, pe7, w0_parts: Sequence, b0, w1, b1,
-                 tile: int = 256, interpret: bool = False):
+def stencil_head(pp, lp, fr, sigmas, pe_c, pe_rot, w0_parts: Sequence,
+                 b0, w1, b1, tile: int = 256, interpret: bool = False):
     """7-point stencil MLP head on patch-gather inputs.
 
     pp/lp: per-branch-per-plane patch lists (flattened, b-major) from
     vm_patch_gather; fr [N, 2*FRAC_STRIDE]; sigmas static per-branch
-    shifts (or None entries for dynamic mips); pe7 [7, N, E];
-    w0_parts = (w0a, w0b, w0c, w0pe) row-splits of layer-0 weights;
-    b0 [H]; w1 [H, O]; b1 [O].
+    shifts (or None entries for dynamic mips); pe_c [N, E] CENTER-point
+    embedding + pe_rot [7, 4, E] linear-combination table (the kernel
+    derives the 6 offset-point PEs via trig addition — see
+    tenso_sdf._pe_rot_table); w0_parts = (w0a, w0b, w0c, w0pe) row-splits
+    of layer-0 weights; b0 [H]; w1 [H, O]; b1 [O].
     Returns (out_center [N, O], sdf_off [6, N]); biases applied outside
     the kernel (their grads are free cotangent sums in XLA)."""
     static = _static_cfg(7, pp, lp, fr, sigmas, tile, interpret)
-    out_c, out_off = _head(static, tuple(pp), tuple(lp), fr, pe7,
+    out_c, out_off = _head(static, tuple(pp), tuple(lp), fr, pe_c, pe_rot,
                            tuple(w0_parts), b0, w1)
     return out_c + b1[None, :], out_off + b1[0]
 
@@ -567,6 +595,7 @@ def point_head(pp, lp, fr, sigmas, pe, w0_parts: Sequence, b0, w1, b1,
                tile: int = 256, interpret: bool = False):
     """Single-point MLP head (center taps only): pe [N, E] -> [N, O]."""
     static = _static_cfg(1, pp, lp, fr, sigmas, tile, interpret)
-    out_c, _ = _head(static, tuple(pp), tuple(lp), fr, pe[None],
+    rot = jnp.zeros((1, 4, pe.shape[-1]), jnp.float32)  # unused for S=1
+    out_c, _ = _head(static, tuple(pp), tuple(lp), fr, pe, rot,
                      tuple(w0_parts), b0, w1)
     return out_c + b1[None, :]

@@ -422,14 +422,41 @@ def vm_features_split(packed: PackedVMField, xyz01, level=None):
     L = [None, None, None]
     for l0, mw in _level_branches(meta, level, n):
         mwc = None if mw is None else mw[:, None]
+        # ONE fused gather for all 6 textures of this branch: every
+        # gather's s32 index vector costs an async T(1,128) relayout
+        # copy (~6ms at 131k rows — round-2 trace); concatenated indices
+        # pay it once and the row-slices back out are layout-preserving.
+        idxs, pw, lw = [], [], []
         for i in range(3):
             base, h, w, hf, wf = _plane_params(meta, i, l0)
-            p = _bilinear_take(packed.buffer, base, h, w,
-                               cols[MAT_MODE[i][0]] * hf - 0.5,
-                               cols[MAT_MODE[i][1]] * wf - 0.5)
+            t0 = cols[MAT_MODE[i][0]] * hf - 0.5
+            t1 = cols[MAT_MODE[i][1]] * wf - 0.5
+            f0 = jnp.floor(t0)
+            f1 = jnp.floor(t1)
+            a0 = jnp.clip(f0.astype(jnp.int32) + 1, 0, h)
+            a1 = jnp.clip(f1.astype(jnp.int32) + 1, 0, w)
+            idxs.append(base + a0 * (w + 1) + a1)
+            pw.append(((t0 - f0)[:, None], (t1 - f1)[:, None]))
+        for i in range(3):
             base, ln, lf = _line_params(meta, i, l0)
-            ll = _linear_take(packed.buffer, base, ln,
-                              cols[VEC_MODE[i]] * lf - 0.5)
+            xt = cols[VEC_MODE[i]] * lf - 0.5
+            x0 = jnp.floor(xt)
+            idxs.append(base + jnp.clip(x0.astype(jnp.int32) + 1, 0, ln))
+            lw.append((xt - x0)[:, None])
+        rows = jnp.take(packed.buffer, jnp.concatenate(idxs), axis=0,
+                        mode='clip')
+        c = rows.shape[-1] // 4
+        for i in range(3):
+            r = rows[i * n:(i + 1) * n]
+            w0, w1 = pw[i]
+            p = (((1 - w0) * (1 - w1)) * r[:, :c]
+                 + ((1 - w0) * w1) * r[:, c:2 * c]
+                 + (w0 * (1 - w1)) * r[:, 2 * c:3 * c]
+                 + (w0 * w1) * r[:, 3 * c:]).astype(jnp.float32)
+            r = rows[(3 + i) * n:(4 + i) * n]
+            f = lw[i]
+            ll = ((1 - f) * r[:, :c]
+                  + f * r[:, c:2 * c]).astype(jnp.float32)
             if mwc is not None:
                 p = p * mwc
                 ll = ll * mwc
@@ -627,8 +654,9 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
     fr_cols = []
     for l0, mw in _level_branches(meta, level, n):
         static = isinstance(l0, int)
-        pps, lps, sgs = [], [], []
+        sgs = []
         fracs, sig_lanes = [], []
+        p_idx, l_idx = [], []
         for i in range(3):
             a, b = MAT_MODE[i]
             if static:
@@ -652,8 +680,7 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
                           d01[b] * wf * jnp.ones((n,), jnp.float32)]
             au = jnp.clip(u0.astype(jnp.int32) + 1, 0, hi)
             av = jnp.clip(v0.astype(jnp.int32) + 1, 0, wi)
-            idx = base + au * (wi + 1) + av
-            pps.append(jnp.take(atlas.plane_buf, idx, axis=0, mode='clip'))
+            p_idx.append(base + au * (wi + 1) + av)
             sgs.append((d01[a] * hf, d01[b] * wf) if static else None)
         sig_x = []
         for i in range(3):
@@ -671,10 +698,16 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
             fracs.append(xt - x0)
             sig_x.append(d01[c] * lf * jnp.ones((n,), jnp.float32))
             ax = jnp.clip(x0.astype(jnp.int32) + 1, 0, li)
-            lps.append(jnp.take(atlas.line_buf, ax + base, axis=0,
-                                mode='clip'))
+            l_idx.append(ax + base)
             if static:
                 sgs[i] = sgs[i] + (d01[c] * lf,)
+        # separate gathers per texture: fusing them looks tempting but the
+        # row-slices back out must MATERIALIZE to feed the Pallas kernel
+        # (+450MB/step, measured slower)
+        pps = [jnp.take(atlas.plane_buf, ix, axis=0, mode='clip')
+               for ix in p_idx]
+        lps = [jnp.take(atlas.line_buf, ix, axis=0, mode='clip')
+               for ix in l_idx]
         wcol = (jnp.full((n,), 1.0, jnp.float32) if mw is None
                 else mw.astype(jnp.float32))
         fr_b = fracs + [wcol] + sig_lanes + sig_x

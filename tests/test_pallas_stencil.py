@@ -172,13 +172,22 @@ def test_head_vjp_exact():
     fr_np[:, 9] = 1.0
     fr = jnp.asarray(fr_np)
     sigmas = (((1.0, 0.9, 0.8), (0.7, 0.6, 0.5), (1.0, 1.0, 1.0)),)
-    pe = jnp.asarray(rng.randn(S, N, E).astype(np.float32)) * 0.3
+    pe = jnp.asarray(rng.randn(N, E).astype(np.float32)) * 0.3
+    rot = jnp.asarray(rng.randn(S, 4, E).astype(np.float32)) * 0.5
     w0p = tuple(jnp.asarray(rng.randn(d, H).astype(np.float32)) * 0.3
                 for d in (C, C, C, E))
     b0 = jnp.asarray(rng.randn(H).astype(np.float32)) * 0.3
     w1 = jnp.asarray(rng.randn(H, O).astype(np.float32)) * 0.3
 
-    def ref_head(pp, lp, pe, w0p, b0, w1):
+    def pe_points(pe_c):
+        m3 = jnp.concatenate([pe_c[:, 3:], pe_c[:, :3]], 1)
+        p3 = jnp.concatenate([pe_c[:, E - 3:], pe_c[:, :E - 3]], 1)
+        return [pe_c] + [pe_c * rot[s, 0] + m3 * rot[s, 1]
+                         + p3 * rot[s, 2] + rot[s, 3]
+                         for s in range(1, S)]
+
+    def ref_head(pp, lp, pe_c, w0p, b0, w1):
+        pe = pe_points(pe_c)
         def hats(r):
             return [jnp.maximum(0., 1. - jnp.abs(r - k))
                     for k in (-1, 0, 1, 2)]
@@ -219,7 +228,7 @@ def test_head_vjp_exact():
     def loss_ker(args):
         pp_, lp_, pe_, w0p_, b0_, w1_ = args
         static = (7, TN, 'float32', B, C, sigmas, True)
-        oc, oo = ps._head(static, tuple(pp_), tuple(lp_), fr, pe_,
+        oc, oo = ps._head(static, tuple(pp_), tuple(lp_), fr, pe_, rot,
                           tuple(w0p_), b0_, w1_)
         return jnp.sum(oc ** 2) + jnp.sum(oo ** 2)
 
