@@ -62,7 +62,9 @@ def main():
     phase = mc_shading.ShadePhase(nis_loss_diffuse=True,
                                   nis_loss_specular=True)
 
-    def step_fn(params, opt_state, batch, step, weights, rng):
+    # grid must be a jit ARG — a closed-over packed grid becomes a 268MB
+    # HLO constant and the axon remote compile rejects it (HTTP 413)
+    def step_fn(params, opt_state, grid, batch, step, weights, rng):
         def loss_fn(p):
             outputs = mr.train_step_outputs(p, rcfg, grid, batch, phase,
                                             rng, step)
@@ -74,7 +76,7 @@ def main():
         return params, opt_state, total
 
     jitted = jax.jit(step_fn)
-    params, opt_state, total = jitted(params, opt_state, batch, 2000,
+    params, opt_state, total = jitted(params, opt_state, grid, batch, 2000,
                                       weights, jax.random.PRNGKey(0))
     float(total)
 
@@ -84,7 +86,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(n_iters):
             params, opt_state, total = jitted(
-                params, opt_state, batch, 2000 + i, weights,
+                params, opt_state, grid, batch, 2000 + i, weights,
                 jax.random.PRNGKey(w * n_iters + i))
         float(total)
         best_dt = min(best_dt, time.perf_counter() - t0)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scale-proof the stage-1 schedule: compile + time the train step at each
+grid phase of the 128^3 -> 512^3 upsample schedule (VERDICT r1 item 5).
+
+Usage: python scripts/scaleproof.py [reso ...]   (default 128 256 512)
+Prints one line per phase: grid, n_levels, compile_s, step_ms, rays/s.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_phase(reso, n_levels):
+    import jax
+    import jax.numpy as jnp
+    from tensoflow_tpu import config as config_mod
+    from tensoflow_tpu.fields import light as light_mod
+    from tensoflow_tpu.models import shape_renderer as sr
+    from tensoflow_tpu.ops import grid as grid_mod
+    from tensoflow_tpu.train import losses
+    from tensoflow_tpu.train.trainer import build_shape_config, make_optimizer
+    import optax
+
+    rays = 2048
+    cfg = config_mod.load_config(extra={
+        'train_ray_num': rays,
+        'sdf_n_comp': 36, 'sdf_dim': 256, 'app_dim': 128,
+        'use_occ_grid': True, 'occ_grid_reso': 128,
+        'occ_max_samples': 192,
+        'apply_occ_loss': True, 'occ_loss_step': -1,
+        'occ_loss_max_pn': 2048,
+        'has_radiance_field': False,
+        'apply_mask_loss': True,
+        'gather_dtype': 'bfloat16',
+    })
+    rcfg = build_shape_config(cfg, (reso, reso, reso), n_levels)
+    params = sr.init_shape_renderer(jax.random.PRNGKey(0), rcfg)
+    occ_cfg = grid_mod.OccGridConfig(resolution=128)
+    occ_state = grid_mod.init_occ_grid(occ_cfg)
+    centers = grid_mod.occ_grid_cell_centers(occ_cfg)
+    alphas = jax.jit(lambda p, c: sr.compute_occ_alpha_chunked(p, rcfg, c))(
+        params, centers)
+    occ_state = grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, 0)
+    tx, opt_state = make_optimizer(cfg, params, 0)
+    weights = losses.schedule_weights(cfg, 30000)
+
+    rng = np.random.RandomState(0)
+    o = rng.uniform(-1, 1, (rays, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.0
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d += 0.1 * rng.randn(rays, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {k: jnp.asarray(v) for k, v in {
+        'rays_o': o, 'rays_d': d, 'dirs': d,
+        'radiis': np.full((rays, 1), 1e-3, np.float32),
+        'rays_cos': np.ones((rays, 1), np.float32),
+        'rgbs': rng.rand(rays, 3).astype(np.float32),
+        'masks': (rng.rand(rays, 1) > 0.5).astype(np.float32),
+    }.items()}
+
+    def step_fn(params, opt_state, occ_state, ray_batch, step, weights, rng):
+        def loss_fn(p):
+            mips = light_mod.build_mips(p['shading']['envlight'],
+                                        rcfg.shading.env)
+            outputs = sr.train_step_outputs(p, rcfg, mips, occ_state,
+                                            ray_batch, step, rng, False,
+                                            True)
+            total, _ = losses.total_loss_shape(outputs, weights)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    t0 = time.perf_counter()
+    jitted = jax.jit(step_fn)
+    params, opt_state, total = jitted(params, opt_state, occ_state, batch,
+                                      30000, weights, jax.random.PRNGKey(0))
+    v = float(total)
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(v), f'non-finite loss at {reso}^3'
+
+    iters = 8
+    best = float('inf')
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, total = jitted(
+                params, opt_state, occ_state, batch, 30000 + i, weights,
+                jax.random.PRNGKey(w * iters + i))
+        float(total)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    step_ms = best * 1e3
+    print(f'grid={reso}^3 n_levels={n_levels} compile={compile_s:.1f}s '
+          f'step={step_ms:.2f}ms rays_s={rays / best:.0f} loss={v:.4f}',
+          flush=True)
+
+
+def main():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    resos = [int(x) for x in sys.argv[1:]] or [128, 256, 512]
+    levels = {128: 1, 256: 2, 512: 3}
+    for r in resos:
+        run_phase(r, levels.get(r, 1))
+
+
+if __name__ == '__main__':
+    main()

@@ -102,16 +102,16 @@ def sphere_trace(grid, rays_o, rays_d, n_steps: int = 48,
                                    step_scale=step_scale,
                                    max_dist=max_dist)
     n = rays_o.shape[0]
-    # static cell size: convert the (concrete, closure-captured) aabb to
-    # numpy BEFORE any jnp op so this works under jit tracing
-    a_np = np.asarray(grid.aabb)
-    cell = float((a_np[1] - a_np[0]).mean() / grid.resolution)
-    diag = float(np.linalg.norm(a_np[1] - a_np[0]))
+    # aabb may be a traced jit argument — derive step caps as traced
+    # scalars (jnp arithmetic works for concrete closures too)
+    ext = grid.aabb[1] - grid.aabb[0]
+    cell = jnp.mean(ext) / grid.resolution
+    diag = jnp.linalg.norm(ext)
     if hit_eps is None:
         hit_eps = 0.75 * cell
     # cap the step so a (possibly non-metric) baked field cannot tunnel
     # through thin geometry, while n_steps * cap still spans the aabb
-    step_cap = max(2.0 * diag / n_steps, 4.0 * cell)
+    step_cap = jnp.maximum(2.0 * diag / n_steps, 4.0 * cell)
 
     # start at the ray/aabb entry (slab method) — outside the grid the
     # field carries no distance information
@@ -281,11 +281,12 @@ def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
     the standard fine trace; bisection then brackets the crossing; the
     normal is the analytic trilinear gradient at the hit."""
     n = rays_o.shape[0]
-    a_np = np.asarray(pg.aabb)
+    # aabb may be a traced jit argument — keep caps as traced scalars
     r = pg.rows.shape[0]
     rc = pg.coarse_rows.shape[0]
-    cell = float((a_np[1] - a_np[0]).mean() / (r - 1))
-    c_cell = float((a_np[1] - a_np[0]).mean() / (rc - 1))
+    ext_mean = jnp.mean(pg.aabb[1] - pg.aabb[0])
+    cell = ext_mean / (r - 1)
+    c_cell = ext_mean / (rc - 1)
     c_diag = float(np.sqrt(3.0)) * c_cell
     if hit_eps is None:
         hit_eps = 0.75 * cell

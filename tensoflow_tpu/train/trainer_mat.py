@@ -15,6 +15,7 @@ Host/device split:
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -123,12 +124,13 @@ class MaterialTrainer:
     def _trace_fn(self, chunk_n: int):
         key = ('trace', self.rcfg, chunk_n)
         if key not in self._compiled:
-            rcfg, geo, grid = self.rcfg, self.geo_params, self.grid
+            rcfg = self.rcfg
 
             @jax.jit
-            def trace(o, d):
+            def trace(geo, grid, o, d):
                 return mr.trace_surface(geo, rcfg, grid, o, d)
-            self._compiled[key] = trace
+            self._compiled[key] = functools.partial(
+                trace, self.geo_params, self.grid)
         return self._compiled[key]
 
     def _trace_filter(self, batch, chunk: int = 65536):
@@ -199,10 +201,13 @@ class MaterialTrainer:
         key = ('step', self.rcfg, phase)
         if key in self._compiled:
             return self._compiled[key]
-        rcfg, grid, tx = self.rcfg, self.grid, self.tx
+        rcfg, tx = self.rcfg, self.tx
 
-        def step_fn(params, opt_state, batch, step, weights, rng, fc_d,
-                    fc_s):
+        # grid is a jit ARGUMENT, never a closure: a closed-over baked SDF
+        # grid becomes an HLO constant (268MB at 256^3 packed) and the
+        # axon remote-compile request blows its size limit (HTTP 413)
+        def step_fn(params, opt_state, grid, batch, step, weights, rng,
+                    fc_d, fc_s):
             def loss_fn(p):
                 outputs = mr.train_step_outputs(
                     p, rcfg, grid, batch, phase, rng, step, fc_d, fc_s)
@@ -243,8 +248,8 @@ class MaterialTrainer:
             fc_d = self.flow_copies.get('diffuse')
             fc_s = self.flow_copies.get('specular')
             self.params, self.opt_state, aux = fn(
-                self.params, self.opt_state, batch, step, weights, k,
-                fc_d, fc_s)
+                self.params, self.opt_state, self.grid, batch, step,
+                weights, k, fc_d, fc_s)
             if (step + 1) % log_every == 0 or step == self.start_step:
                 host = {k_: float(v) for k_, v in aux.items()
                         if np.ndim(v) == 0}
@@ -327,10 +332,8 @@ class MaterialTrainer:
 
         key = ('nvs', rcfg, chunk, with_nis)
         if key not in self._compiled:
-            geo = self.geo_params
-
             @jax.jit
-            def nvs_fn(params, o, d, rng, fc_d, fc_s):
+            def nvs_fn(params, geo, grid, o, d, rng, fc_d, fc_s):
                 inters, normals, depth, hit = mr.trace_surface(
                     geo, rcfg, grid, o, d)
                 b = {'inters': inters, 'normals': normals, 'rays_d': d}
@@ -339,7 +342,11 @@ class MaterialTrainer:
                 out['hit'] = hit
                 return out
             self._compiled[key] = nvs_fn
-        nvs_fn = self._compiled[key]
+        nvs_fn_raw = self._compiled[key]
+
+        def nvs_fn(params, o, d, rng, fc_d, fc_s):
+            return nvs_fn_raw(params, self.geo_params, self.grid, o, d,
+                              rng, fc_d, fc_s)
 
         keys_out = ['rgb_pr', 'normal', 'specular_light', 'specular_color',
                     'diffuse_light', 'diffuse_color', 'albedo', 'metallic',
