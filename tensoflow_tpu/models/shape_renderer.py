@@ -391,19 +391,34 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     slot_f = slot_mask.astype(alpha_s.dtype)
     if compact:
         # composite entirely in COMPACT space: segmented transmittance +
-        # segment-sums by ray id.  No [rays, samples]-shaped tensor is
-        # materialized anywhere in the compacted train path (the padded
-        # grid is 3x the compact budget; scatter_back + dense cumprod cost
-        # ~20ms/step in the round-2 trace).
-        ray_id = src // sn
+        # ONE scatter-free segment reduction for every per-ray accumulation
+        # (weights, color, normal, radiance, depth).  No [rays, samples]-
+        # shaped tensor is materialized anywhere in the compacted train
+        # path, and no per-accumulation scatter: 5 separate segment_sums
+        # cost ~5ms/step in the round-2 trace; the packed cumsum+boundary
+        # form is ~0.5ms with a cheap (reverse-cumsum) VJP.
+        # Invalid slots get ray_id = rn so the id stream is globally sorted.
+        ray_id = jnp.where(slot_mask, (src // sn).astype(jnp.int32), rn)
         w_c = composite.compact_weights(alpha_s, slot_mask, ray_id, rn)
-        acc = jax.ops.segment_sum(w_c, ray_id, num_segments=rn)[:, None]
-
-        def acc_compact(vals):
-            v2 = vals if vals.ndim > 1 else vals[:, None]
-            return jax.ops.segment_sum(w_c[:, None] * v2, ray_id,
-                                       num_segments=rn)
-        color = acc_compact(sampled_color)
+        w_col = w_c[:, None]
+        cols = [w_col, w_col * sampled_color, w_col * grads]
+        n_cols = 7
+        if radiance_on and sampled_radiance is not None:
+            rough_c = occ_info['roughness']
+            rough_c = rough_c if rough_c.ndim > 1 else rough_c[:, None]
+            cols += [w_col * sampled_radiance, w_col * rough_c]
+            n_cols = 11
+        if eval_extras:
+            cols.append(w_col * jnp.take(mid.reshape(-1), src,
+                                         mode='clip')[:, None])
+        sums = composite.segment_sums_sorted(
+            jnp.concatenate(cols, -1), ray_id, rn)
+        acc = sums[:, 0:1]
+        color = sums[:, 1:4]
+        acc_normal_c = sums[:, 4:7]
+        radiance_c = sums[:, 7:10] if n_cols == 11 else None
+        rw_c = sums[:, 10:11] if n_cols == 11 else None
+        t_depth_c = sums[:, n_cols:n_cols + 1] if eval_extras else None
     else:
         weights, _ = composite.weights_from_alpha(
             alpha_s.reshape(rn, sn), inner)
@@ -426,7 +441,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
     }
 
     if compact:
-        acc_normal = acc_compact(grads)
+        acc_normal = acc_normal_c
     else:
         acc_normal = composite.accumulate(weights, grads.reshape(rn, sn, 3))
     outputs['normal'] = safe_normalize(
@@ -458,8 +473,8 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
     if radiance_on and sampled_radiance is not None:
         if compact:
-            radiance = acc_compact(sampled_radiance)
-            rw = acc_compact(occ_info['roughness'])
+            radiance = radiance_c
+            rw = rw_c
         else:
             radiance = composite.accumulate(
                 weights, sampled_radiance.reshape(rn, sn, 3))
@@ -485,8 +500,7 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
     if eval_extras:
         if compact:
-            t_depth = acc_compact(jnp.take(mid.reshape(-1), src,
-                                           mode='clip'))
+            t_depth = t_depth_c
         else:
             t_depth = composite.accumulate(weights, mid[..., None])
         outputs['depth'] = t_depth * rays_cos

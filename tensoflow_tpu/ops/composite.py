@@ -35,6 +35,16 @@ def weights_from_alpha(alpha, mask=None):
     return alpha * trans, trans
 
 
+def _carry_last_valid(seed, flag):
+    """Associative scan propagating the value at the most recent flagged
+    slot (exact — no arithmetic on the carried values)."""
+    def op(a, b):
+        return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+
+    out, _ = jax.lax.associative_scan(op, (seed, flag))
+    return out
+
+
 def compact_weights(alpha_c, slot_mask, ray_id, n_rays: int):
     """Compositing weights directly on ray-major COMPACTED samples.
 
@@ -47,20 +57,46 @@ def compact_weights(alpha_c, slot_mask, ray_id, n_rays: int):
     Equivalent to scatter_back + weights_from_alpha on the padded grid
     (up to the 1e-7 cumprod guard applied only at valid slots), without
     materializing any [rays, samples] tensor: one flat cumsum of
-    log(1-alpha) plus a per-ray segment-start correction.
+    log(1-alpha) plus a per-ray segment-start correction.  The start
+    correction is broadcast with a carry-last-valid scan — scatter- and
+    gather-free (a segment_sum of counts + 131k-row gather cost ~2ms/step
+    in the round-2 trace; segment-id gathers pay per row on TPU).
     """
     valid = slot_mask.astype(alpha_c.dtype)
     a = alpha_c * valid
     log_om = jnp.log(jnp.clip(1.0 - a, 0.0, 1.0) + 1e-7) * valid
     cs = jnp.cumsum(log_om)
     excl = cs - log_om                       # inclusive -> exclusive
-    counts = jax.ops.segment_sum(slot_mask.astype(jnp.int32), ray_id,
-                                 num_segments=n_rays)
-    first = jnp.cumsum(counts) - counts      # first slot index per ray
-    start = jnp.take(excl, jnp.minimum(first, excl.shape[0] - 1),
-                     mode='clip')            # log-trans before each ray
-    trans = jnp.exp(excl - jnp.take(start, ray_id, mode='clip'))
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             ray_id[1:] != ray_id[:-1]])
+    start = _carry_last_valid(jnp.where(first, excl, 0.0), first)
+    trans = jnp.exp(excl - start)
     return a * trans * valid
+
+
+def segment_sums_sorted(cols, ray_id, n_rays: int):
+    """Per-ray sums of compact sample columns, scatter-free.
+
+    cols [M, K]; ray_id [M] int32 GLOBALLY nondecreasing (invalid slots
+    must carry ray_id >= n_rays so they sort after all real rays and drop
+    out); returns [n_rays, K].
+
+    sum_r = P[right_r] - P[left_r] with P the 0-prefixed inclusive cumsum
+    and (left, right) each ray's slot range from one searchsorted pair.
+    One [M, K] cumsum + two [n_rays]-row gathers replace K scatter-adds of
+    M rows each (~1.15ms per segment_sum at M=131k in the round-2 trace);
+    the VJP is a reversed cumsum + tiny boundary scatter instead of an
+    M-row gather.  fp note: f32 cumsum across rays costs ~1e-4 relative
+    on O(1) per-ray sums (measured) — inside the compositing noise floor.
+    """
+    k = cols.shape[1]
+    cs = jnp.cumsum(cols, axis=0)
+    p = jnp.concatenate([jnp.zeros((1, k), cols.dtype), cs])
+    qs = jnp.arange(n_rays, dtype=ray_id.dtype)
+    left = jnp.searchsorted(ray_id, qs, side='left')
+    right = jnp.searchsorted(ray_id, qs, side='right')
+    return (jnp.take(p, right, axis=0, mode='clip')
+            - jnp.take(p, left, axis=0, mode='clip'))
 
 
 def accumulate(weights, values=None):
