@@ -625,6 +625,47 @@ def pack_vm_patches(field: FieldParams, n_levels: int = 1,
     return PatchAtlas(pbuf, lbuf, meta)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _take_rows_small(static, buf, idx):
+    return jnp.take(buf, idx, axis=0, mode='clip')
+
+
+def _take_rows_small_fwd(static, buf, idx):
+    return _take_rows_small(static, buf, idx), idx
+
+
+def _take_rows_small_bwd(static, idx, g):
+    rows, dtype_name = static
+    onehot = (idx[:, None] == jnp.arange(rows, dtype=idx.dtype)[None, :])
+    dbuf = jax.lax.dot_general(
+        onehot.astype(jnp.bfloat16), g.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dbuf.astype(jnp.dtype(dtype_name)), None
+
+
+_take_rows_small.defvjp(_take_rows_small_fwd, _take_rows_small_bwd)
+
+
+def take_rows_small(buf, idx):
+    """Row gather whose VJP is a one-hot MXU matmul, for SMALL tables.
+
+    Scatter-add of N updates into an R-row table degenerates on TPU when
+    R << N (nearly every update collides: the 131k-update -> 387-row line
+    atlas scatter cost ~4ms/step in the round-2 trace).  For small R the
+    transpose is a dense reduction: dbuf = onehot(idx)^T @ dout — one
+    [N, R] bf16 one-hot (fused compare) and one MXU matmul (~0.5ms).
+    Forward is a plain row gather (already cheap).  Exact for in-range
+    indices (one-hot weights are 0/1; accumulation in f32)."""
+    return _take_rows_small((buf.shape[0], jnp.dtype(buf.dtype).name),
+                            buf, idx)
+
+# tables at or below this row count use the one-hot-matmul VJP gather
+SMALL_TABLE_ROWS = 4096
+
+
 FRAC_STRIDE = 32   # frac-pack lanes per mip branch
 
 
@@ -706,7 +747,9 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
         # (+450MB/step, measured slower)
         pps = [jnp.take(atlas.plane_buf, ix, axis=0, mode='clip')
                for ix in p_idx]
-        lps = [jnp.take(atlas.line_buf, ix, axis=0, mode='clip')
+        small_lines = atlas.line_buf.shape[0] <= SMALL_TABLE_ROWS
+        lps = [(take_rows_small(atlas.line_buf, ix) if small_lines
+                else jnp.take(atlas.line_buf, ix, axis=0, mode='clip'))
                for ix in l_idx]
         wcol = (jnp.full((n,), 1.0, jnp.float32) if mw is None
                 else mw.astype(jnp.float32))
