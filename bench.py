@@ -60,7 +60,10 @@ def main():
     centers = grid_mod.occ_grid_cell_centers(occ_cfg)
     alphas = jax.jit(lambda p, c: sr.compute_occ_alpha_chunked(p, rcfg, c))(
         params, centers)
-    occ_state = grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, 0)
+    sdf0 = jax.jit(lambda p, c: sr.compute_sdf_chunked(p, rcfg, c))(
+        params, centers)
+    occ_state = grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, 0,
+                                         sdf=sdf0)
     tx, opt_state = make_optimizer(cfg, params, 0)
     weights = losses.schedule_weights(cfg, 2000)
 

@@ -494,7 +494,8 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
         if occ_loss_on:
             outputs['loss_occ'] = _occ_loss(
                 params, cfg, aabb, s_pts, sdf, normals, s_dirs,
-                occ_info, slot_mask, k_occ, inv_s, packed=packed)
+                occ_info, slot_mask, k_occ, inv_s, packed=packed,
+                occ_state=(occ_state if cfg.use_occ_grid else None))
         else:
             outputs['loss_occ'] = jnp.zeros(())
 
@@ -533,12 +534,24 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
 
 def _occ_loss(params, cfg: ShapeRendererConfig, aabb, flat_pts, sdf, normals,
-              flat_dirs, occ_info, flat_inner, rng, inv_s, packed=None):
+              flat_dirs, occ_info, flat_inner, rng, inv_s, packed=None,
+              occ_state=None):
     """Occlusion-probability supervision (ref: shapeRenderer.py:1027-1103).
 
     Fixed-shape: select up to ``occ_loss_max_pn`` qualifying surface samples
     with top_k over randomized scores, march their reflection rays through
     the SDF, L1 between predicted and marched occlusion probability.
+
+    Two march sources, mirroring the reference's two branches:
+      * occ_state provided (occ-grid sampler active): march the BAKED SDF
+        lattice refreshed at every occupancy update — one gathered row per
+        tap instead of a full VM-field evaluation (the march target is
+        stop_gradient'ed either way, so only the forward cost changes; the
+        bake lags the field by at most occ_update_interval steps, like the
+        reference's EMA'd occupancy in its grid branch,
+        ref shapeRenderer.py:1056-1100).
+      * otherwise: march the live field (ref get_intersection branch,
+        shapeRenderer.py:1052-1054).
     """
     k = cfg.occ_loss_max_pn
     n = flat_pts.shape[0]
@@ -554,9 +567,15 @@ def _occ_loss(params, cfg: ShapeRendererConfig, aabb, flat_pts, sdf, normals,
     sel_ref = jnp.take(occ_info['reflective'], idx, axis=0, mode='clip')
     sel_occ = jnp.take(occ_info['occ_prob'], idx, axis=0, mode='clip')
 
-    def sdf_fun(x):
-        return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb,
-                                  packed=packed)
+    if occ_state is not None and 'sdf_rows' in occ_state:
+        occ_cfg = grid_mod.OccGridConfig(resolution=cfg.occ_grid_reso)
+
+        def sdf_fun(x):
+            return grid_mod.sample_occ_sdf(occ_state, occ_cfg, x)[:, None]
+    else:
+        def sdf_fun(x):
+            return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, x, aabb,
+                                      packed=packed)
 
     _, w, _ = secondary.secondary_intersection(sdf_fun, inv_s, sel_pts,
                                                sel_ref, 64, 16)
@@ -601,6 +620,26 @@ def compute_occ_alpha_chunked(params, cfg: ShapeRendererConfig, pts,
     out = jax.lax.map(
         lambda p: compute_occ_alpha(params, cfg, p, packed=packed),
         pts_p.reshape(-1, chunk, 3))
+    return out.reshape(-1)[:n]
+
+
+def compute_sdf_chunked(params, cfg: ShapeRendererConfig, pts,
+                        chunk: int = 131072, packed=None):
+    """Raw SDF over a large point set (the occ-loss bake lattice)."""
+    aabb = aabb_array(cfg)
+    if packed is None:
+        packed = tenso_sdf.pack_field(params['sdf'], cfg.sdf)
+    n = pts.shape[0]
+
+    def eval_chunk(p):
+        return tenso_sdf.sdf_only(params['sdf'], cfg.sdf, p, aabb,
+                                  packed=packed)[:, 0]
+
+    if n <= chunk:
+        return eval_chunk(pts)
+    pad = (-n) % chunk
+    pts_p = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+    out = jax.lax.map(eval_chunk, pts_p.reshape(-1, chunk, 3))
     return out.reshape(-1)[:n]
 
 

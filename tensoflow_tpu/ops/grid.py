@@ -35,6 +35,12 @@ def init_occ_grid(cfg: OccGridConfig):
     return {
         'occs': jnp.zeros((r, r, r), jnp.float32),
         'binary': jnp.ones((r, r, r), jnp.bool_),
+        # baked SDF lattice (cell-center nodes, packed cell-corner rows for
+        # one-gather trilinear taps); +1 everywhere = 'all empty' until the
+        # first update — occ-loss march targets are 0 until then, matching
+        # the reference's occ grid starting fully occupied but the SDF
+        # march starting from an untrained sphere
+        'sdf_rows': jnp.ones((r, r, r, 8), jnp.bfloat16),
     }
 
 
@@ -48,19 +54,104 @@ def occ_grid_cell_centers(cfg: OccGridConfig):
 
 
 def update_occ_grid(state, cfg: OccGridConfig, alphas, step: int | jnp.ndarray,
-                    rng=None):
+                    rng=None, sdf=None):
     """EMA update from freshly evaluated cell alphas.
 
     alphas: [R^3] alpha at (jittered) cell centers. Mirrors
     nerfacc.update_every_n_steps semantics: occs <- max(occs*decay, alpha),
     binary <- occs > min(mean(occs), thresh).
+
+    sdf: optional [R^3] signed distances at UNJITTERED cell centers —
+    re-baked into the packed trilinear lattice the occ-loss march reads
+    (see occ_sdf_aabb / sample_occ_sdf).  When None the previous bake is
+    kept.
     """
     r = cfg.resolution
     occs = jnp.maximum(state['occs'] * cfg.ema_decay,
                        alphas.reshape(r, r, r))
     thresh = jnp.minimum(jnp.mean(occs), cfg.occ_threshold)
     binary = occs > thresh
-    return {'occs': occs, 'binary': binary}
+    new = {'occs': occs, 'binary': binary}
+    if sdf is not None:
+        new['sdf_rows'] = pack_cell_rows(sdf.reshape(r, r, r), jnp.bfloat16)
+    elif 'sdf_rows' in state:
+        new['sdf_rows'] = state['sdf_rows']
+    return new
+
+
+def occ_sdf_aabb(cfg: OccGridConfig):
+    """aabb of the baked-SDF node lattice: the R^3 cell CENTERS are the
+    nodes, so the lattice spans [aabb_min + h/2, aabb_max - h/2]."""
+    h = (cfg.aabb_max - cfg.aabb_min) / cfg.resolution
+    return jnp.asarray(
+        [[cfg.aabb_min + 0.5 * h] * 3, [cfg.aabb_max - 0.5 * h] * 3],
+        jnp.float32)
+
+
+def sample_occ_sdf(state, cfg: OccGridConfig, pts):
+    """Trilinear baked-SDF lookup at world points [N,3] -> [N] f32
+    (+1 outside the node lattice — treated as empty space)."""
+    return packed_trilinear_tap(state['sdf_rows'], occ_sdf_aabb(cfg), pts)
+
+
+def pack_cell_rows(values, dtype):
+    """[R,R,R] node values -> [R,R,R,8] rows of cell corners
+    (clip(i+di), clip(j+dj), clip(k+dk)), corner index (di*2+dj)*2+dk.
+
+    One gathered row then covers a full trilinear footprint (TPU gathers
+    pay per ROW; 8 scalar corner gathers -> 1)."""
+    r = values.shape[0]
+    nxt = np.minimum(np.arange(r) + 1, r - 1)
+    corners = []
+    for di in (0, 1):
+        vi = values if di == 0 else values[nxt]
+        for dj in (0, 1):
+            vj = vi if dj == 0 else vi[:, nxt]
+            for dk in (0, 1):
+                corners.append(vj if dk == 0 else vj[:, :, nxt])
+    return jnp.stack(corners, axis=-1).astype(dtype)
+
+
+def corner_weights(f):
+    """f [N,3] in-cell fractions -> [N,8] trilinear corner weights plus
+    the [N,8,3] weight gradients d w / d f (for analytic normals)."""
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    w, dw = [], []
+    for dx in (0, 1):
+        wx, gx = (fx, 1.0) if dx else (1.0 - fx, -1.0)
+        for dy in (0, 1):
+            wy, gy = (fy, 1.0) if dy else (1.0 - fy, -1.0)
+            for dz in (0, 1):
+                wz, gz = (fz, 1.0) if dz else (1.0 - fz, -1.0)
+                w.append(wx * wy * wz)
+                dw.append(jnp.concatenate(
+                    [gx * wy * wz, wx * gy * wz, wx * wy * gz], -1))
+    return jnp.concatenate(w, -1), jnp.stack(dw, 1)
+
+
+def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
+    """One trilinear tap per point from pack_cell_rows rows.
+
+    Returns value [N] (1.0 outside the aabb) and, if want_grad, the
+    world-space gradient [N,3] of the interpolant."""
+    r = rows4.shape[0]
+    lo, hi = aabb[0], aabb[1]
+    u = (pts - lo) / (hi - lo)
+    inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
+    x = jnp.clip(u, 0.0, 1.0) * (r - 1.0)
+    b = jnp.clip(x.astype(jnp.int32), 0, r - 2)
+    f = x - b.astype(x.dtype)
+    idx = (b[:, 0] * r + b[:, 1]) * r + b[:, 2]
+    row = jnp.take(rows4.reshape(-1, 8), idx, axis=0,
+                   mode='clip').astype(jnp.float32)
+    if not want_grad:
+        w, _ = corner_weights(f)
+        return jnp.where(inside, jnp.sum(row * w, -1), 1.0)
+    w, dw = corner_weights(f)
+    val = jnp.where(inside, jnp.sum(row * w, -1), 1.0)
+    scale = (r - 1.0) / (hi - lo)                       # [3]
+    grad = jnp.sum(row[:, :, None] * dw, 1) * scale
+    return val, grad
 
 
 def query_binary(state, cfg: OccGridConfig, pts):

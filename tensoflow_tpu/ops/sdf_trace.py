@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .grid import trilinear_sample_3d
+from .grid import (trilinear_sample_3d, pack_cell_rows,
+                   corner_weights, packed_trilinear_tap)
 
 MISS_DEPTH = 10.0
 
@@ -192,19 +193,7 @@ class PackedSDFGrid(NamedTuple):
         return self.rows.shape[0]
 
 
-def _pack_cells(values, dtype):
-    """[R,R,R] node values -> [R,R,R,8] rows of cell corners
-    (clip(i+di), clip(j+dj), clip(k+dk)), corner index (di*2+dj)*2+dk."""
-    r = values.shape[0]
-    nxt = np.minimum(np.arange(r) + 1, r - 1)
-    corners = []
-    for di in (0, 1):
-        vi = values if di == 0 else values[nxt]
-        for dj in (0, 1):
-            vj = vi if dj == 0 else vi[:, nxt]
-            for dk in (0, 1):
-                corners.append(vj if dk == 0 else vj[:, :, nxt])
-    return jnp.stack(corners, axis=-1).astype(dtype)
+_pack_cells = pack_cell_rows          # shared with ops.grid (occ-loss bake)
 
 
 def pack_sdf_grid(grid: SDFGrid, coarse_factor: int = 4,
@@ -226,46 +215,8 @@ def pack_sdf_grid(grid: SDFGrid, coarse_factor: int = 4,
                          aabb=jnp.asarray(grid.aabb, jnp.float32))
 
 
-def _corner_weights(f):
-    """f [N,3] in-cell fractions -> [N,8] trilinear corner weights plus
-    the [N,8,3] weight gradients d w / d f (for analytic normals)."""
-    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
-    w, dw = [], []
-    for dx in (0, 1):
-        wx, gx = (fx, 1.0) if dx else (1.0 - fx, -1.0)
-        for dy in (0, 1):
-            wy, gy = (fy, 1.0) if dy else (1.0 - fy, -1.0)
-            for dz in (0, 1):
-                wz, gz = (fz, 1.0) if dz else (1.0 - fz, -1.0)
-                w.append(wx * wy * wz)
-                dw.append(jnp.concatenate(
-                    [gx * wy * wz, wx * gy * wz, wx * wy * gz], -1))
-    return jnp.concatenate(w, -1), jnp.stack(dw, 1)
-
-
-def _packed_tap(rows4, aabb, pts, want_grad: bool = False):
-    """One trilinear tap per point from packed rows.
-
-    Returns value [N] (1.0 outside the aabb) and, if want_grad, the
-    world-space gradient [N,3] of the interpolant."""
-    r = rows4.shape[0]
-    lo, hi = aabb[0], aabb[1]
-    u = (pts - lo) / (hi - lo)
-    inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
-    x = jnp.clip(u, 0.0, 1.0) * (r - 1.0)
-    b = jnp.clip(x.astype(jnp.int32), 0, r - 2)
-    f = x - b.astype(x.dtype)
-    idx = (b[:, 0] * r + b[:, 1]) * r + b[:, 2]
-    row = jnp.take(rows4.reshape(-1, 8), idx, axis=0,
-                   mode='clip').astype(jnp.float32)
-    if not want_grad:
-        w, _ = _corner_weights(f)
-        return jnp.where(inside, jnp.sum(row * w, -1), 1.0)
-    w, dw = _corner_weights(f)
-    val = jnp.where(inside, jnp.sum(row * w, -1), 1.0)
-    scale = (r - 1.0) / (hi - lo)                       # [3]
-    grad = jnp.sum(row[:, :, None] * dw, 1) * scale
-    return val, grad
+_corner_weights = corner_weights
+_packed_tap = packed_trilinear_tap
 
 
 def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,

@@ -255,7 +255,11 @@ class ShapeTrainer:
             jitter = (jax.random.uniform(rng, centers.shape) - 0.5) * cell
             pts = centers + jitter
             alphas = sr.compute_occ_alpha_chunked(params, rcfg, pts)
-            return grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, step)
+            # bake the SDF at the unjittered lattice in the same pass —
+            # the occ-loss march reads it instead of the live field
+            sdf = sr.compute_sdf_chunked(params, rcfg, centers)
+            return grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, step,
+                                            sdf=sdf)
 
         self._compiled[key] = occ_update
         return occ_update
