@@ -86,8 +86,9 @@ def test_specular_estimator_white_furnace(setup):
     assert (spec <= 0.5 * 1.2).all()  # bounded by light * margin
 
 
-@pytest.mark.parametrize('olv,human', [('direction', False),
-                                       ('sphere_direction', True)])
+@pytest.mark.parametrize('olv,human', [
+    pytest.param('direction', False, marks=pytest.mark.slow),
+    ('sphere_direction', True)])
 def test_outer_light_variants_forward(setup, olv, human):
     """MLP outer lights (direction / sphere_direction + human capturer
     light) shade finitely — the custom-scene config path."""

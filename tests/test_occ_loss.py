@@ -58,6 +58,7 @@ def _batch(rays):
     }
 
 
+@pytest.mark.slow
 def test_baked_march_matches_field_march(setup):
     cfg, rcfg, params, occ_state = setup
     batch = _batch(64)

@@ -32,6 +32,7 @@ def _mk_params(cfg, seed=0):
 AABB = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('n_levels', [1, 2])
 def test_stencil_head_matches_xla(n_levels):
     # small head dims: correctness only — full-size dims are exercised on
