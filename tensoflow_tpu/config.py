@@ -89,6 +89,7 @@ TRAINER_DEFAULTS: Dict[str, Any] = {
     'compact_samples_per_ray': 64,
     'gather_dtype': 'float32',
     'stencil_impl': 'auto',
+    'stencil_tile': 256,
     'blend_ratio': 0,
 
     # losses (ref: loss.py defaults)

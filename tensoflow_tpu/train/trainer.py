@@ -45,7 +45,8 @@ def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
         app_dim=cfg['app_dim'], n_levels=n_levels,
         sdf_multires=cfg['sdf_multires'],
         gather_dtype=cfg.get('gather_dtype', 'float32'),
-        stencil_impl=cfg.get('stencil_impl', 'auto'))
+        stencil_impl=cfg.get('stencil_impl', 'auto'),
+        stencil_tile=int(cfg.get('stencil_tile', 256)))
     shading_cfg = shading_mod.ShadingConfig(
         app_feats_dim=cfg['app_dim'],
         has_radiance_field=cfg['has_radiance_field'],
