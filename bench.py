@@ -49,9 +49,9 @@ def main():
         # bf16 texture gathers: validated quality-neutral on the toy
         # pipeline (median mesh radius 0.495 vs 0.5, std 0.012)
         'gather_dtype': 'bfloat16',
-        # measured on TPU v5e (scripts/bench_stencil.py): isolated stencil
-        # fwd+bwd 49ms @tile 256, 46.7 @512, 47.3 @1024
-        'stencil_tile': 512,
+        # tile 256 measured best at STEP level (28.5k rays/s vs 27.9k at
+        # 512) even though isolated stencil fwd+bwd prefers 512 (46.7ms
+        # vs 49) — bigger tiles overlap worse with the step's async copies
     })
     rcfg = build_shape_config(cfg, (128, 128, 128), 1)
     params = sr.init_shape_renderer(jax.random.PRNGKey(0), rcfg)
