@@ -75,14 +75,13 @@ def main():
         done = trainer.start_step
         trainer.save(ckpt_path)
         if done % val_every < save_every:
-            try:
-                psnr = trainer.validate(max_views=1)
-                print(f'[val] step={done} psnr={psnr:.3f}', flush=True)
-                if psnr > trainer.best_para:
-                    trainer.best_para = psnr
-                    trainer.save(os.path.join(model_dir, 'model_best.pkl'))
-            except Exception as e:  # pragma: no cover
-                print(f'[val] failed: {e}', flush=True)
+            # full val split, best-ckpt selection on the split mean
+            # (ref: trainer_inv.py:217-237); a val failure fails loudly
+            psnr = trainer.validate()
+            print(f'[val] step={done} psnr={psnr:.3f}', flush=True)
+            if psnr > trainer.best_para:
+                trainer.best_para = psnr
+                trainer.save(os.path.join(model_dir, 'model_best.pkl'))
     print(f'training done at step {trainer.start_step}')
 
 

@@ -39,6 +39,11 @@ from . import checkpoints, losses
 
 def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
                        ) -> sr.ShapeRendererConfig:
+    tile = int(cfg.get('stencil_tile', 256))
+    if tile <= 0 or tile % 8 != 0:
+        raise ValueError(
+            f'stencil_tile={tile} must be a positive multiple of 8 '
+            '(TPU sublane size — the Pallas stencil head tiles rows by it)')
     sdf_cfg = tenso_sdf.SDFConfig(
         grid_size=tuple(int(g) for g in grid_size),
         n_comp=cfg['sdf_n_comp'], sdf_dim=cfg['sdf_dim'],
@@ -46,7 +51,7 @@ def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
         sdf_multires=cfg['sdf_multires'],
         gather_dtype=cfg.get('gather_dtype', 'float32'),
         stencil_impl=cfg.get('stencil_impl', 'auto'),
-        stencil_tile=int(cfg.get('stencil_tile', 256)))
+        stencil_tile=tile)
     shading_cfg = shading_mod.ShadingConfig(
         app_feats_dim=cfg['app_dim'],
         has_radiance_field=cfg['has_radiance_field'],
@@ -450,14 +455,21 @@ class ShapeTrainer:
         return {k: np.concatenate(v, 0).reshape(h, w, -1)
                 for k, v in out.items() if v}
 
-    def validate(self, max_views: int = 1, downsample: Optional[float] = None):
-        """PSNR over held-out views (ref: trainer_inv.py:217-237)."""
+    def validate(self, max_views: Optional[int] = None,
+                 downsample: Optional[float] = None):
+        """Mean PSNR over the held-out split (ref: trainer_inv.py:217-237).
+
+        Evaluates ALL val views by default, matching the reference's
+        ValidationEvaluator (train_valid.py:18-51); pass max_views to
+        subsample (tests / quick checks)."""
         import cv2
         psnrs = []
         ds = downsample if downsample is not None else (
             self.cfg['downsample_ratio'] if self.cfg['test_downsample_ratio']
             else 1.0)
-        for vid in self.test_ids[:max_views]:
+        vids = self.test_ids if max_views is None else \
+            self.test_ids[:max_views]
+        for vid in vids:
             gt = self.database.get_image(vid).astype(np.float32) / 255.0
             K = self.database.get_K(vid).copy()
             pose = self.database.get_pose(vid)

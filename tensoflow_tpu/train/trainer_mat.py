@@ -57,11 +57,19 @@ def build_material_config(cfg: Dict[str, Any],
     valid = {k: tuple(v) if isinstance(v, list) else v
              for k, v in shader_over.items() if k in base._fields}
     shader = base._replace(**valid)
+    tile = int(cfg.get('stencil_tile', 256))
+    if tile <= 0 or tile % 8 != 0:
+        raise ValueError(
+            f'stencil_tile={tile} must be a positive multiple of 8 '
+            '(TPU sublane size — the Pallas stencil head tiles rows by it)')
     sdf_cfg = tenso_sdf.SDFConfig(
         grid_size=tuple(geo_kwargs['grid_size']),
         n_comp=geo_kwargs['sdf_n_comp'], sdf_dim=geo_kwargs['sdf_dim'],
         app_dim=geo_kwargs['app_dim'], n_levels=geo_kwargs['n_levels'],
-        sdf_multires=geo_kwargs.get('sdf_multires', 3))
+        sdf_multires=geo_kwargs.get('sdf_multires', 3),
+        gather_dtype=cfg.get('gather_dtype', 'float32'),
+        stencil_impl=cfg.get('stencil_impl', 'auto'),
+        stencil_tile=tile)
     return mr.MaterialRendererConfig(
         shader=shader, sdf=sdf_cfg,
         aabb=tuple(tuple(x) for x in geo_kwargs['aabb']),
@@ -379,10 +387,15 @@ class MaterialTrainer:
         img['hit_mask'] = hit.reshape(h, w, 1)
         return img
 
-    def validate(self, max_views: int = 1, downsample: float = 0.25):
+    def validate(self, max_views: Optional[int] = None,
+                 downsample: float = 0.25):
+        """Mean PSNR over the full held-out split by default (matching the
+        reference's ValidationEvaluator; pass max_views to subsample)."""
         import cv2
         psnrs = []
-        for vid in self.test_ids[:max_views]:
+        vids = self.test_ids if max_views is None else \
+            self.test_ids[:max_views]
+        for vid in vids:
             gt = self.database.get_image(vid).astype(np.float32) / 255.0
             K = self.database.get_K(vid).copy()
             pose = self.database.get_pose(vid)
