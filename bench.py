@@ -149,7 +149,16 @@ def main():
                 100.0 * flops / step_s / 197e12, 2)
     except Exception:
         pass  # cost model availability varies by backend
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
+
+    # stage-2 line (verdict r2 item 4: both stages driver-visible, each
+    # with a stage-appropriate anchor — see bench_material.py docstring)
+    try:
+        import bench_material
+        print(json.dumps(bench_material.run()), flush=True)
+    except Exception as e:  # stage-1 result stands on its own
+        print(json.dumps({'metric': 'stage2_train_rays_per_s_per_chip',
+                          'error': repr(e)}), flush=True)
 
 
 if __name__ == '__main__':

@@ -206,10 +206,14 @@ def apply_shading(params, cfg: ShadingConfig, mips, points, normals,
     albedo = albedo * 0.77 + 0.03
     roughness = roughness * 0.9 + 0.09
 
-    # radiance head (ref: fields.py:503-509)
+    # radiance head (ref: fields.py:503-509).  A concrete step (eval
+    # paths) gates here; a traced step means the caller's phase-keyed jit
+    # already decided the head is on (trainer.phase_flags) — callers pass
+    # step=None to disable (shape_renderer.render_rays).
     radiance = None
     if cfg.has_radiance_field and step is not None \
-            and step > cfg.radiance_field_step:
+            and (not isinstance(step, (int, float, np.integer))
+                 or step > cfg.radiance_field_step):
         rad_in = jnp.concatenate(
             [feature_vectors, points,
              positional_encoding(view_dirs, 4), normals], -1)

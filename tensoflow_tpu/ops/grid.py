@@ -35,6 +35,9 @@ def init_occ_grid(cfg: OccGridConfig):
     return {
         'occs': jnp.zeros((r, r, r), jnp.float32),
         'binary': jnp.ones((r, r, r), jnp.bool_),
+        # 4^3-block bitmask rows of `binary` (all-occupied at init);
+        # the march gathers ONE row per G steps — see pack_occ_blocks
+        'blocks': jnp.full((r * r * r, 2), 0xFFFFFFFF, jnp.uint32),
         # baked SDF lattice (cell-center nodes, packed cell-corner rows for
         # one-gather trilinear taps); +1 everywhere = 'all empty' until the
         # first update — occ-loss march targets are 0 until then, matching
@@ -71,7 +74,8 @@ def update_occ_grid(state, cfg: OccGridConfig, alphas, step: int | jnp.ndarray,
                        alphas.reshape(r, r, r))
     thresh = jnp.minimum(jnp.mean(occs), cfg.occ_threshold)
     binary = occs > thresh
-    new = {'occs': occs, 'binary': binary}
+    new = {'occs': occs, 'binary': binary,
+           'blocks': pack_occ_blocks(binary)}
     if sdf is not None:
         new['sdf_rows'] = pack_cell_rows(sdf.reshape(r, r, r), jnp.bfloat16)
     elif 'sdf_rows' in state:
@@ -154,6 +158,60 @@ def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
     return val, grad
 
 
+def pack_occ_blocks(binary):
+    """[R,R,R] bool -> [R^3, 2] uint32 rows: the row at anchor cell a
+    holds the edge-clamped 4^3 block binary[clip(a+d)], d in [0,3]^3, as
+    a 64-bit mask with bit (dx*4+dy)*4+dz (bit>>5 selects the word).
+
+    TPU gathers pay per gathered ROW (~8ns), so the dense binary march
+    ([rays, steps] scalar lookups = 901k rows/step, 7.2ms in the round-2
+    trace) instead gathers ONE block row per G consecutive steps and
+    extracts each step's cell with shifts — see occ_grid_sampling."""
+    r = binary.shape[0]
+    idx = [jnp.minimum(jnp.arange(r) + d, r - 1) for d in range(4)]
+    words = []
+    for wi in range(2):
+        acc = jnp.zeros((r, r, r), jnp.uint32)
+        for dxl in (0, 1):
+            vx = jnp.take(binary, idx[2 * wi + dxl], axis=0)
+            for dy in range(4):
+                vxy = jnp.take(vx, idx[dy], axis=1)
+                for dz in range(4):
+                    b = (dxl * 4 + dy) * 4 + dz
+                    acc = acc | (jnp.take(vxy, idx[dz], axis=2)
+                                 .astype(jnp.uint32) << b)
+        words.append(acc.reshape(-1))
+    return jnp.stack(words, axis=-1)
+
+
+def _query_blocks(blocks, cfg: OccGridConfig, pts, anchors, G: int):
+    """Occupancy of per-step cells from per-group block rows.
+
+    pts [rn, S, 3] world midpoints (S = n_groups*G); anchors [rn, n_groups, 3]
+    int32 block anchors (each step's cell is guaranteed within the 4^3
+    block of its group's anchor — see occ_grid_sampling's G choice).
+    Returns bool [rn, S]."""
+    r = cfg.resolution
+    rn, s0, _ = pts.shape
+    rows = jnp.take(
+        blocks,
+        (anchors[..., 0] * r + anchors[..., 1]) * r + anchors[..., 2],
+        axis=0, mode='clip')                                 # [rn, ng, 2]
+    rows = jnp.broadcast_to(rows[:, :, None, :],
+                            (rn, s0 // G, G, 2)).reshape(rn, s0, 2)
+    u = (pts - cfg.aabb_min) / (cfg.aabb_max - cfg.aabb_min)
+    inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    v = jnp.clip((u * r).astype(jnp.int32), 0, r - 1)
+    loc = jnp.clip(
+        v - jnp.broadcast_to(anchors[:, :, None, :],
+                             (rn, s0 // G, G, 3)).reshape(rn, s0, 3),
+        0, 3)
+    b = ((loc[..., 0] * 4 + loc[..., 1]) * 4 + loc[..., 2]).astype(
+        jnp.uint32)
+    word = jnp.where(b < 32, rows[..., 0], rows[..., 1])
+    return (((word >> (b & 31)) & 1) > 0) & inside
+
+
 def query_binary(state, cfg: OccGridConfig, pts):
     """Nearest-cell binary occupancy at world points [N,3] -> bool [N].
 
@@ -181,18 +239,37 @@ def occ_grid_sampling(state, cfg: OccGridConfig, rays_o, dirs, near, far,
     the per-ray budget.
     """
     rn = rays_o.shape[0]
-    i = jnp.arange(n_candidates, dtype=rays_o.dtype)
+    # group G consecutive steps per block gather: every member's cell is
+    # within ceil((G-1)/2 * step / voxel) <= 1 of the group-center cell,
+    # so anchor = center_cell - 1 keeps all members in the 4^3 block
+    voxel = (cfg.aabb_max - cfg.aabb_min) / cfg.resolution
+    G = 1
+    if 'blocks' in state and isinstance(step_size, (int, float)):
+        for g in (4, 2):
+            if (g - 1) * 0.5 * float(step_size) <= voxel:
+                G = g
+                break
+    s0 = -(-n_candidates // G) * G
+    i = jnp.arange(s0, dtype=rays_o.dtype)
     if rng is not None:  # stratified: jitter the whole lattice per ray
         jitter = jax.random.uniform(rng, (rn, 1))
     else:
         jitter = jnp.full((rn, 1), 0.0, rays_o.dtype)
-    t0 = near + (i[None, :] + jitter) * step_size          # [rn, S0]
-    t1 = t0 + step_size
-    tm = 0.5 * (t0 + t1)
+    tm = near + (i[None, :] + jitter + 0.5) * step_size    # [rn, s0]
 
     pts = rays_o[:, None, :] + dirs[:, None, :] * tm[..., None]
-    occ = query_binary(state, cfg, pts.reshape(-1, 3)).reshape(rn, -1)
-    occ = occ & (tm < far)
+    if G == 1:
+        occ = query_binary(state, cfg, pts.reshape(-1, 3)).reshape(rn, s0)
+    else:
+        gg = jnp.arange(s0 // G, dtype=rays_o.dtype)
+        tc = near + (gg[None, :] * G + jitter + 0.5 * G) * step_size
+        pc = rays_o[:, None, :] + dirs[:, None, :] * tc[..., None]
+        uc = (pc - cfg.aabb_min) / (cfg.aabb_max - cfg.aabb_min)
+        vc = jnp.clip((uc * cfg.resolution).astype(jnp.int32),
+                      0, cfg.resolution - 1)
+        anchors = jnp.clip(vc - 1, 0, cfg.resolution - 4)
+        occ = _query_blocks(state['blocks'], cfg, pts, anchors, G)
+    occ = occ[:, :n_candidates] & (tm[:, :n_candidates] < far)
 
     # stable compaction of the first `max_samples` occupied steps via a
     # per-row SORT of candidate keys (occupied keep their index, empty get

@@ -12,11 +12,12 @@ branch (ops/tensor_field.pack_vm_patches / vm_patch_gather — 3 plane +
     per-texel shift sigma in [-1, 1], so fractional-mip shifts and the
     +-1-texel FD stencil share one formulation with NO dynamic slot
     indexing (see vm_patch_gather for the anchor convention);
-  * per-plane plane*line products packed into 128-lane K slots of one
-    [S*TN, 512] VMEM scratch;
-  * the first MLP layer as a single MXU dot against W0big [512, H]
-    (true K=129 weight rows scattered into matching slots; zero-row
-    K-padding is free — the MXU runs K=128 passes regardless);
+  * per-plane plane*line products + the point PE packed CONTIGUOUSLY
+    into one [S*TN, XW] VMEM scratch (XW = 3C+E rounded up to 128), so
+    W0big is simply the true [3C+E, H] layer-0 weights zero-padded —
+    every X row is ONE aligned full-width store (round-3 change: the
+    earlier 4x128-slot layout spent ~3.6k vreg-ops/tile zeroing a
+    [S*TN, 512] scratch and doubled the MXU K passes);
   * softplus(beta=100) and the second layer, with offset stencil points
     reduced to the sdf column (ref: network/fields.py:227-299).
 
@@ -42,8 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import tensor_field as tfield
 
-SLOT = 128                              # lane-slot width per K segment
+SLOT = 128                              # TPU lane-vreg width
 FS = tfield.FRAC_STRIDE                 # frac lanes per mip branch
+
+
+def _xw(C: int, E: int) -> int:
+    """X scratch width: 3 plane products + PE, rounded up to a vreg."""
+    return -(-(3 * C + E) // SLOT) * SLOT
 
 # plane lookup variants [center, u+, u-, v+, v-]; line [center, x+, x-]
 _PVAR_SIGN = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
@@ -174,6 +180,23 @@ def _variants(P, L, fr, S, B, C, sigmas):
     return PV, LV
 
 
+def _assemble_x(X, PV, LV, pes, S, TN, C, E, mapping):
+    """Fill the [S*TN, XW] scratch: per stencil point one CONTIGUOUS
+    full-width row store [prod0 | prod1 | prod2 | pe | 0-pad] — the pad
+    lanes match zero rows of w0big, and writing them explicitly avoids
+    both a per-tile scratch zeroing and uninitialized-VMEM NaNs hitting
+    the MXU."""
+    xw = X.shape[-1]
+    pad = xw - (3 * C + E)
+    zpad = [jnp.zeros((TN, pad), jnp.float32)] if pad else []
+    for s in range(S):
+        rows = slice(s * TN, (s + 1) * TN)
+        prods = [PV[i][mapping[s][i][0]] * LV[i][mapping[s][i][1]]
+                 for i in range(3)]
+        X[rows, :] = jnp.concatenate(
+            prods + [pes[s]] + zpad, axis=1).astype(X.dtype)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -194,11 +217,12 @@ def _pe_offsets(pe, rot, S):
     return out
 
 
-def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
+def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd, save_v):
     """refs in: fr [TN,2FS], P (B*3 [TN,16C]), L (B*3 [TN,4C]),
-    pe [TN,E], rot [S,4,E], w0big [4*SLOT,H], b0 [1,H], w1 [H,O],
+    pe [TN,E], rot [S,4,E], w0big [XW,H], b0 [1,H], w1 [H,O],
     (w1row [1,H]);
-    out: out_c [TN,O] f32, (out_off [S-1,TN] f32); scratch X."""
+    out: out_c [TN,O] f32, (out_off [S-1,TN] f32), (V [TN,VW] f32 tap
+    variants saved for the backward); scratch X."""
     k = 0
     fr = refs[k]; k += 1
     P = refs[k:k + 3 * B]; k += 3 * B
@@ -215,18 +239,19 @@ def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     out_off = None
     if S > 1:
         out_off = refs[k]; k += 1
+    v_out = None
+    if save_v:
+        v_out = refs[k]; k += 1
     X = refs[k]
 
     PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
+    if save_v:
+        v_out[:] = jnp.concatenate(
+            [PV[i][pv] for i in range(3) for pv in range(len(PV[0]))]
+            + [LV[i][lv] for i in range(3) for lv in range(len(LV[0]))],
+            axis=1)
     pes = _pe_offsets(pe[:].astype(jnp.float32), rot[:], S)
-    X[:] = jnp.zeros_like(X)
-    for s in range(S):
-        rows = slice(s * TN, (s + 1) * TN)
-        for i in range(3):
-            pv, lv = mapping[s][i]
-            X[rows, i * SLOT:i * SLOT + C] = (
-                PV[i][pv] * LV[i][lv]).astype(X.dtype)
-        X[rows, 3 * SLOT:3 * SLOT + E] = pes[s].astype(X.dtype)
+    _assemble_x(X, PV, LV, pes, S, TN, C, E, mapping)
     z = _dot(X[:], w0big[:]) + b0[:]            # [S*TN, H] f32
     h = _softplus100(z).astype(cd)
     out_c[:] = _dot(h[:TN], w1[:])
@@ -239,7 +264,13 @@ def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
                              axis=-1)
 
 
-def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
+def _vw(S: int, C: int) -> int:
+    """Saved-variant row width: (n_pv + n_lv) * 3 planes * C."""
+    return ((5 + 3) if S > 1 else 2) * 3 * C
+
+
+def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret,
+               save_v=False):
     grid = (N // TN,)
     const = lambda shape: pl.BlockSpec(shape,
                                        lambda t: tuple(0 for _ in shape))
@@ -248,7 +279,7 @@ def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
     in_specs += [pl.BlockSpec((TN, 4 * C), lambda t: (t, 0))] * (3 * B)
     in_specs.append(pl.BlockSpec((TN, E), lambda t: (t, 0)))
     in_specs.append(const((S, 4, E)))
-    in_specs += [const((4 * SLOT, H)), const((1, H)), const((H, O))]
+    in_specs += [const((_xw(C, E), H)), const((1, H)), const((H, O))]
     if S > 1:
         in_specs.append(const((1, H)))
     out_shapes = [jax.ShapeDtypeStruct((N, O), jnp.float32)]
@@ -257,12 +288,17 @@ def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
         out_shapes.append(
             jax.ShapeDtypeStruct((S - 1, N), jnp.float32))
         out_specs.append(pl.BlockSpec((S - 1, TN), lambda t: (0, t)))
+    if save_v:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((N, _vw(S, C)), jnp.float32))
+        out_specs.append(pl.BlockSpec((TN, _vw(S, C)), lambda t: (t, 0)))
     kern = functools.partial(_fwd_kernel, S=S, TN=TN, B=B, C=C, E=E,
-                             sigmas=sigmas, mapping=mapping, cd=cd)
+                             sigmas=sigmas, mapping=mapping, cd=cd,
+                             save_v=save_v)
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((S * TN, 4 * SLOT), cd)],
+        scratch_shapes=[pltpu.VMEM((S * TN, _xw(C, E)), cd)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -274,12 +310,14 @@ def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
-    """Recompute activations per tile; emit patch/pe cotangents and
-    accumulate weight grads across the (sequential) grid."""
+    """Backward from saved tap variants: rebuild X (cheap products) and
+    z on the MXU, emit patch/pe cotangents, accumulate weight grads
+    across the (sequential) grid.  Takes V [TN,VW] (the forward's saved
+    blended variants) instead of the raw patches — drops both the
+    ~450MB/step of patch re-reads and the tap recompute (round 3)."""
     k = 0
     fr = refs[k]; k += 1
-    P = refs[k:k + 3 * B]; k += 3 * B
-    L = refs[k:k + 3 * B]; k += 3 * B
+    V = refs[k]; k += 1
     pe = refs[k]; k += 1
     rot = refs[k]; k += 1
     w0big = refs[k]; k += 1
@@ -312,19 +350,23 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
         if dw1row is not None:
             dw1row[:] = jnp.zeros_like(dw1row)
 
-    # recompute forward to the activations
-    PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
+    # rebuild the activations from the saved variants
+    n_pv = 5 if S > 1 else 1
+    n_lv = 3 if S > 1 else 1
+    v = V[:]
+    PV = [[v[:, (i * n_pv + pv) * C:(i * n_pv + pv + 1) * C]
+           for pv in range(n_pv)] for i in range(3)]
+    loff = 3 * n_pv * C
+    LV = [[v[:, loff + (i * n_lv + lv) * C:loff + (i * n_lv + lv + 1) * C]
+           for lv in range(n_lv)] for i in range(3)]
     pes = _pe_offsets(pe[:].astype(jnp.float32), rot[:], S)
-    X[:] = jnp.zeros_like(X)
-    for s in range(S):
-        rows = slice(s * TN, (s + 1) * TN)
-        for i in range(3):
-            pv, lv = mapping[s][i]
-            X[rows, i * SLOT:i * SLOT + C] = (
-                PV[i][pv] * LV[i][lv]).astype(X.dtype)
-        X[rows, 3 * SLOT:3 * SLOT + E] = pes[s].astype(X.dtype)
+    _assemble_x(X, PV, LV, pes, S, TN, C, E, mapping)
     z = _dot(X[:], w0big[:]) + b0[:]
-    h = _softplus100(z).astype(cd)
+    # one shared exp serves both softplus (h) and its derivative (sig)
+    zs = 100.0 * z
+    e = jnp.exp(-jnp.abs(zs))
+    h = ((jnp.maximum(zs, 0.0) + jnp.log1p(e)) / 100.0).astype(cd)
+    sig = jnp.where(zs >= 0.0, 1.0, e) / (1.0 + e)
 
     # second layer backward
     gc = g_c[:].astype(cd)                      # [TN, O]
@@ -340,14 +382,12 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
         dh = jnp.concatenate([dh_c, dh_off], axis=0)
     else:
         dh = dh_c
-    dz = (dh * _sig100(z)).astype(cd)           # [S*TN, H]
+    dz = (dh * sig).astype(cd)                  # [S*TN, H]
     db0[:] += jnp.sum(dz.astype(jnp.float32), axis=0, keepdims=True)
     dw0big[:] += _dot_t(X[:], dz)
-    dX[:] = _dot_rt(dz, w0big[:])               # [S*TN, 4*SLOT] f32
+    dX[:] = _dot_rt(dz, w0big[:])               # [S*TN, XW] f32
 
     # product rule into the variant cotangents
-    n_pv = 5 if S > 1 else 1
-    n_lv = 3 if S > 1 else 1
     dPV = [[None] * n_pv for _ in range(3)]
     dLV = [[None] * n_lv for _ in range(3)]
     dpe_acc = None
@@ -356,12 +396,12 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
         rows = slice(s * TN, (s + 1) * TN)
         for i in range(3):
             pv, lv = mapping[s][i]
-            dxi = dX[rows, i * SLOT:i * SLOT + C]
+            dxi = dX[rows, i * C:(i + 1) * C]
             dp = dxi * LV[i][lv]
             dl = dxi * PV[i][pv]
             dPV[i][pv] = dp if dPV[i][pv] is None else dPV[i][pv] + dp
             dLV[i][lv] = dl if dLV[i][lv] is None else dLV[i][lv] + dl
-        g_s = dX[rows, 3 * SLOT:3 * SLOT + E]
+        g_s = dX[rows, 3 * C:3 * C + E]
         if s == 0:
             dpe_acc = g_s
         else:
@@ -429,10 +469,10 @@ def _build_bwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
     l_spec = pl.BlockSpec((TN, 4 * C), lambda t: (t, 0))
     pe_spec = pl.BlockSpec((TN, E), lambda t: (t, 0))
     in_specs = [pl.BlockSpec((TN, 2 * FS), lambda t: (t, 0))]
-    in_specs += [p_spec] * (3 * B) + [l_spec] * (3 * B)
+    in_specs.append(pl.BlockSpec((TN, _vw(S, C)), lambda t: (t, 0)))
     in_specs.append(pe_spec)
     in_specs.append(const((S, 4, E)))
-    in_specs += [const((4 * SLOT, H)), const((1, H)), const((H, O))]
+    in_specs += [const((_xw(C, E), H)), const((1, H)), const((H, O))]
     if S > 1:
         in_specs.append(const((1, H)))
     in_specs.append(pl.BlockSpec((TN, O), lambda t: (t, 0)))
@@ -442,11 +482,11 @@ def _build_bwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
     out_shapes = ([jax.ShapeDtypeStruct((N, 16 * C), cd)] * (3 * B)
                   + [jax.ShapeDtypeStruct((N, 4 * C), cd)] * (3 * B)
                   + [jax.ShapeDtypeStruct((N, E), jnp.float32),
-                     jax.ShapeDtypeStruct((4 * SLOT, H), jnp.float32),
+                     jax.ShapeDtypeStruct((_xw(C, E), H), jnp.float32),
                      jax.ShapeDtypeStruct((1, H), jnp.float32),
                      jax.ShapeDtypeStruct((H, O), jnp.float32)])
     out_specs = ([p_spec] * (3 * B) + [l_spec] * (3 * B)
-                 + [pe_spec, const((4 * SLOT, H)), const((1, H)),
+                 + [pe_spec, const((_xw(C, E), H)), const((1, H)),
                     const((H, O))])
     if S > 1:
         out_shapes.append(jax.ShapeDtypeStruct((1, H), jnp.float32))
@@ -456,8 +496,8 @@ def _build_bwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret):
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((S * TN, 4 * SLOT), cd),
-                        pltpu.VMEM((S * TN, 4 * SLOT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((S * TN, _xw(C, E)), cd),
+                        pltpu.VMEM((S * TN, _xw(C, E)), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary',),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -476,18 +516,15 @@ def _pad_rows(x, n_pad):
 
 
 def _w0big(w0_parts, H, cd):
-    """Scatter the layer-0 weight row blocks into 128-row slots."""
-    rows = []
-    for w in w0_parts:                       # 3x [C,H] + [E,H]
-        rows.append(w)
-        if w.shape[0] < SLOT:
-            rows.append(jnp.zeros((SLOT - w.shape[0], H), w.dtype))
+    """Layer-0 weights in X-row order: contiguous [3C+E, H] zero-padded
+    to the vreg-aligned scratch width (pad rows are zero, so the pad
+    lanes of X never reach z)."""
+    rows = list(w0_parts)                    # 3x [C,H] + [E,H]
+    k = sum(w.shape[0] for w in rows)
+    pad = -(-k // SLOT) * SLOT - k
+    if pad:
+        rows.append(jnp.zeros((pad, H), rows[0].dtype))
     return jnp.concatenate(rows, axis=0).astype(cd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _head(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
-    return _head_fwd(static, pp, lp, fr, pe, rot, w0_parts, b0, w1)[0]
 
 
 def _prep(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
@@ -511,25 +548,51 @@ def _prep(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
     return cd, n, n_pad, E, H, O, mapping, args
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _head(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
+    # primal-only path: no saved-variant output (inference/eval calls
+    # would otherwise write ~450MB/step of dead residuals)
+    S, TN, cd_name, B, C, sigmas, interpret = static
+    cd, n, n_pad, E, H, O, mapping, args = _prep(
+        static, pp, lp, fr, pe, rot, w0_parts, b0, w1)
+    outs = _build_fwd(S, n_pad, TN, B, C, E, H, O, cd, sigmas, mapping,
+                      interpret)(*args)
+    if S > 1:
+        return (outs[0][:n], outs[1][:, :n])
+    return (outs[0][:n], None)
+
+
 def _head_fwd(static, pp, lp, fr, pe, rot, w0_parts, b0, w1):
     S, TN, cd_name, B, C, sigmas, interpret = static
     cd, n, n_pad, E, H, O, mapping, args = _prep(
         static, pp, lp, fr, pe, rot, w0_parts, b0, w1)
     fwd = _build_fwd(S, n_pad, TN, B, C, E, H, O, cd, sigmas, mapping,
-                     interpret)
+                     interpret, save_v=True)
     outs = fwd(*args)
     if S > 1:
         res = (outs[0][:n], outs[1][:, :n])
     else:
         res = (outs[0][:n], None)
-    return res, (pp, lp, fr, pe, rot, w0_parts, b0, w1)
+    # V stays padded to the tile multiple — the backward reuses it as-is
+    return res, (fr, pe, rot, w0_parts, b0, w1, outs[-1])
 
 
 def _head_bwd(static, residuals, cot):
     S, TN, cd_name, B, C, sigmas, interpret = static
-    pp, lp, fr, pe, rot, w0_parts, b0, w1 = residuals
-    cd, n, n_pad, E, H, O, mapping, args = _prep(
-        static, pp, lp, fr, pe, rot, w0_parts, b0, w1)
+    fr, pe, rot, w0_parts, b0, w1, v_saved = residuals
+    cd = jnp.dtype(cd_name)
+    n = fr.shape[0]
+    n_pad = -(-n // TN) * TN
+    H = w1.shape[0]
+    O = w1.shape[1]
+    E = pe.shape[-1]
+    mapping = MAPPING7 if S == 7 else MAPPING1
+    args = [_pad_rows(fr.astype(jnp.float32), n_pad), v_saved,
+            _pad_rows(pe.astype(cd), n_pad), rot.astype(jnp.float32),
+            _w0big(w0_parts, H, cd),
+            b0.reshape(1, H).astype(jnp.float32), w1.astype(cd)]
+    if S > 1:
+        args.append(w1[:, 0].reshape(1, H).astype(cd))
     g_c, g_off = cot
     args.append(_pad_rows(g_c.astype(jnp.float32), n_pad))
     if S > 1:
@@ -541,17 +604,17 @@ def _head_bwd(static, residuals, cot):
                      interpret)
     outs = bwd(*args)
     k = 0
-    dpp = tuple(outs[k + j][:n].astype(pp[j].dtype)
-                for j in range(3 * B))
+    dpp = tuple(outs[k + j][:n].astype(cd) for j in range(3 * B))
     k += 3 * B
-    dlp = tuple(outs[k + j][:n].astype(lp[j].dtype)
-                for j in range(3 * B))
+    dlp = tuple(outs[k + j][:n].astype(cd) for j in range(3 * B))
     k += 3 * B
     dpe = outs[k][:n].astype(pe.dtype); k += 1
     dw0big = outs[k]; k += 1
     dw0 = []
-    for j, w in enumerate(w0_parts):
-        dw0.append(dw0big[j * SLOT:j * SLOT + w.shape[0]].astype(w.dtype))
+    off = 0
+    for w in w0_parts:
+        dw0.append(dw0big[off:off + w.shape[0]].astype(w.dtype))
+        off += w.shape[0]
     db0 = outs[k][0].astype(b0.dtype); k += 1
     dw1 = outs[k].astype(w1.dtype); k += 1
     if S > 1:

@@ -224,3 +224,31 @@ def test_packed_trace_hits_offset_sphere():
     np.testing.assert_allclose(np.asarray(depth)[:, 0], 1.05, atol=0.02)
     r = np.linalg.norm(np.asarray(inters) - center, axis=-1)
     np.testing.assert_allclose(r, 0.15, atol=0.012)  # ~hit_eps at 128^3
+
+
+def test_block_march_matches_plain_query():
+    """The 4^3-block bitmask march == per-step query_binary for every
+    step-size regime (G=4 / G=2 / G=1 fallback)."""
+    rng = np.random.RandomState(7)
+    cfg = grid_mod.OccGridConfig(resolution=32)
+    state = grid_mod.init_occ_grid(cfg)
+    occ = jnp.asarray(rng.rand(32 ** 3) > 0.7, jnp.float32)
+    state = grid_mod.update_occ_grid(state, cfg, occ, 0)
+
+    rn = 64
+    o = jnp.asarray(rng.randn(rn, 3).astype(np.float32) * 0.2
+                    - np.array([0, 0, 2.0], np.float32))
+    d = rng.randn(rn, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    near = jnp.full((rn, 1), 0.8, jnp.float32)
+    far = jnp.full((rn, 1), 4.0, jnp.float32)
+    voxel = 2.0 / 32
+    for ss in (0.3 * voxel, 0.6 * voxel, 1.5 * voxel, 3.0 * voxel):
+        nc = int(np.ceil(3.5 / ss))
+        res_blk = grid_mod.occ_grid_sampling(
+            state, cfg, o, d, near, far, float(ss), nc, 48)
+        state_noblk = {k: v for k, v in state.items() if k != 'blocks'}
+        res_ref = grid_mod.occ_grid_sampling(
+            state_noblk, cfg, o, d, near, far, float(ss), nc, 48)
+        for a, b in zip(res_blk, res_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

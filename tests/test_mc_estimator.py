@@ -114,3 +114,56 @@ def test_outer_light_variants_forward(setup, olv, human):
         jax.random.PRNGKey(1), True, human_poses=hp)
     v = np.asarray(out['rgb_pr'])
     assert np.isfinite(v).all() and (v > 0).all()
+
+
+def test_one_field_pack_per_step():
+    """Each VM field pytree (material + live/frozen flows) packs its
+    gather atlas exactly ONCE inside a traced stage-2 shade step
+    (round-2 verdict W3: per-call packing at 512^3 would rebuild
+    multi-hundred-MB atlases)."""
+    from tensoflow_tpu.ops import tensor_field as tfield
+
+    cfg = mc_shading.MCShadingConfig(
+        diffuse_sample_num=16, specular_sample_num=8,
+        nis_diffuse_sample_num=4, nis_specular_sample_num=4,
+        grid_size=(8, 8, 8), light_reso=8,
+        use_nis_diffuse=True, use_nis_specular=True,
+        inner_light_budget=0.25)
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg)
+    frozen = {'flow_diffuse': jax.tree_util.tree_map(
+                  jnp.copy, params['flow_diffuse']),
+              'flow_specular': jax.tree_util.tree_map(
+                  jnp.copy, params['flow_specular'])}
+    vals = np.full((16, 16, 16), 2.0, np.float32)
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(vals),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+
+    counts = []
+    orig = tfield.pack_vm_field
+
+    def counting_pack(field, *a, **kw):
+        counts.append(id(field['planes'][0]))
+        return orig(field, *a, **kw)
+
+    phase = mc_shading.ShadePhase(nis_sample_diffuse=True,
+                                  nis_sample_specular=True,
+                                  nis_loss_diffuse=True,
+                                  nis_loss_specular=True)
+    pn = 4
+    pts = jnp.zeros((pn, 3))
+    nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pn, 1))
+    view = jnp.tile(jnp.asarray([[0.3, 0.1, 0.9]]), (pn, 1))
+    tfield.pack_vm_field = counting_pack
+    try:
+        jax.make_jaxpr(
+            lambda p, fz: mc_shading.mc_forward(
+                p, cfg, grid, 2.0 / 16, grid.aabb, pts, view, nrm,
+                phase, jax.random.PRNGKey(1), True,
+                flow_diffuse_copy=fz['flow_diffuse'],
+                flow_specular_copy=fz['flow_specular']))(params, frozen)
+    finally:
+        tfield.pack_vm_field = orig
+    # 5 distinct field pytrees: mat + live diffuse/specular flows +
+    # frozen diffuse/specular copies -> exactly 5 packs, no repeats
+    assert len(counts) == 5, counts
+    assert len(set(counts)) == 5, counts

@@ -64,3 +64,94 @@ def test_sharded_and_single_device_agree():
     l2 = t2.train(n_steps=2, log_every=1)
     np.testing.assert_allclose(l1[-1]['loss'], l2[-1]['loss'],
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sharded_material_step_matches_single_device():
+    """One stage-2 (MC shading) train step sharded over the 8-device mesh
+    == the single-device step (same data/rng): surface-hit batch sharded,
+    params + SDF grid replicated, both NIS flows sampling AND training
+    (verdict r2 item 5)."""
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tensoflow_tpu.fields import mc_shading
+    from tensoflow_tpu.models import material_renderer as mr
+    from tensoflow_tpu.ops import sdf_trace
+    from tensoflow_tpu.train import losses
+    from tensoflow_tpu.train.trainer_mat import (build_material_config,
+                                                 make_mat_optimizer)
+
+    rays = 64
+    cfg = config_mod.load_config(extra={
+        'name': 'test_shard_mat', 'isMaterial': True,
+        'train_ray_num': rays,
+        'shader_cfg': {
+            'outer_light_version': 'envlight',
+            'diffuse_sample_num': 8, 'specular_sample_num': 8,
+            'nis_diffuse_sample_num': 4, 'nis_specular_sample_num': 4,
+            'light_reso': 8, 'grid_size': [16, 16, 16],
+            'inner_light_budget': 0.5,
+        },
+    })
+    geo_kwargs = {'grid_size': [16, 16, 16], 'sdf_n_comp': 8,
+                  'sdf_dim': 64, 'app_dim': 32, 'n_levels': 1,
+                  'aabb': [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]],
+                  'bake_resolution': 16}
+    rcfg = build_material_config(cfg, geo_kwargs)
+
+    xs = np.linspace(-1, 1, 16, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    vals = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) - 0.5
+    grid = sdf_trace.pack_sdf_grid(sdf_trace.SDFGrid(
+        values=jnp.asarray(vals),
+        aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3])))
+
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), rcfg.shader)
+    frozen = {k: jax.tree_util.tree_map(jnp.copy, params[k])
+              for k in ('flow_diffuse', 'flow_specular')}
+    tx, opt_state = make_mat_optimizer(cfg, params, 0)
+    weights = losses.schedule_weights(cfg, 2000)
+    phase = mc_shading.ShadePhase(
+        nis_sample_diffuse=True, nis_sample_specular=True,
+        nis_loss_diffuse=True, nis_loss_specular=True)
+
+    rng = np.random.RandomState(3)
+    d = rng.randn(rays, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {'inters': jnp.asarray(d * 0.5), 'normals': jnp.asarray(d),
+             'rays_d': jnp.asarray(-d),
+             'rgb': jnp.asarray(rng.rand(rays, 3).astype(np.float32))}
+
+    def step_fn(params, opt_state, grid, frozen, batch, weights, rng):
+        def loss_fn(p):
+            outputs = mr.train_step_outputs(
+                p, rcfg, grid, batch, phase, rng, jnp.asarray(2000.0),
+                flow_diffuse_copy=frozen['flow_diffuse'],
+                flow_specular_copy=frozen['flow_specular'])
+            total, _ = losses.total_loss_material(outputs, weights)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total
+
+    key = jax.random.PRNGKey(5)
+    _, _, l_single = jax.jit(step_fn)(params, opt_state, grid, frozen,
+                                      batch, weights, key)
+
+    mesh = sharding.make_mesh()
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+    jitted = jax.jit(step_fn, out_shardings=(repl, repl, repl))
+    p_s, o_s, l_shard = jitted(
+        jax.device_put(params, repl), jax.device_put(opt_state, repl),
+        jax.device_put(grid, repl), jax.device_put(frozen, repl),
+        {k: jax.device_put(v, data) for k, v in batch.items()},
+        weights, key)
+    np.testing.assert_allclose(float(l_shard), float(l_single),
+                               rtol=2e-4, atol=2e-5)
+    # params replicated: leaves keep full shapes
+    plane = p_s['mat_field']['planes'][0]
+    assert plane.shape[0] == 16
