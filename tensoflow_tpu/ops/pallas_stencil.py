@@ -246,10 +246,13 @@ def _fwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd, save_v):
 
     PV, LV = _variants(P, L, fr[:], S, B, C, sigmas)
     if save_v:
+        # residuals in cd (bf16 when gathers are bf16): the variants are
+        # sums of products of cd patches, so cd storage loses only the
+        # blend's guard bits while halving ~450MB/step of HBM traffic
         v_out[:] = jnp.concatenate(
             [PV[i][pv] for i in range(3) for pv in range(len(PV[0]))]
             + [LV[i][lv] for i in range(3) for lv in range(len(LV[0]))],
-            axis=1)
+            axis=1).astype(v_out.dtype)
     pes = _pe_offsets(pe[:].astype(jnp.float32), rot[:], S)
     _assemble_x(X, PV, LV, pes, S, TN, C, E, mapping)
     z = _dot(X[:], w0big[:]) + b0[:]            # [S*TN, H] f32
@@ -289,8 +292,7 @@ def _build_fwd(S, N, TN, B, C, E, H, O, cd, sigmas, mapping, interpret,
             jax.ShapeDtypeStruct((S - 1, N), jnp.float32))
         out_specs.append(pl.BlockSpec((S - 1, TN), lambda t: (0, t)))
     if save_v:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((N, _vw(S, C)), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((N, _vw(S, C)), cd))
         out_specs.append(pl.BlockSpec((TN, _vw(S, C)), lambda t: (t, 0)))
     kern = functools.partial(_fwd_kernel, S=S, TN=TN, B=B, C=C, E=E,
                              sigmas=sigmas, mapping=mapping, cd=cd,
@@ -353,7 +355,7 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
     # rebuild the activations from the saved variants
     n_pv = 5 if S > 1 else 1
     n_lv = 3 if S > 1 else 1
-    v = V[:]
+    v = V[:].astype(jnp.float32)
     PV = [[v[:, (i * n_pv + pv) * C:(i * n_pv + pv + 1) * C]
            for pv in range(n_pv)] for i in range(3)]
     loff = 3 * n_pv * C

@@ -199,3 +199,29 @@ def test_predict_bg_training(tmp_path):
                                          o, d, None, False))[0]
     assert np.isfinite(bg).all()
     assert bg.mean() > 0.6      # moved from 0.5 toward white
+
+
+@pytest.mark.slow
+def test_large_grid_step_256():
+    """One real train step at a 256^3 grid with 2 mip levels (verdict r2
+    W7: nothing in the suite ran any field above 48^3 — patch-atlas
+    sizes, take_rows_small's one-hot, and per-step repack all scale with
+    grid size; this catches shape/memory bugs before TPU time is spent).
+    Upsampling 128^3 -> 256^3 at step 1 also proves the upsample + opt
+    reset at scale and turns the fractional-mip path on (n_levels=2).
+    Tiny ray/sample counts keep it CPU-sized (~0.5 GB atlas)."""
+    cfg = tiny_cfg(train_ray_num=32, n_samples=8, n_importance=8,
+                   up_sample_steps=2, sdf_n_comp=36, sdf_dim=256,
+                   app_dim=128,
+                   N_voxel_init=128 ** 3, N_voxel_final=256 ** 3,
+                   upsample_list=[1],
+                   use_occ_grid=True, occ_grid_reso=64, occ_max_samples=16,
+                   apply_occ_loss=True, occ_loss_step=-1,
+                   occ_loss_max_pn=32, gather_dtype='bfloat16')
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    logs = trainer.train(n_steps=3, log_every=1)   # upsample after step 1
+    plane = trainer.params['sdf']['field']['planes'][0]
+    assert plane.shape[0] >= 250, plane.shape   # really at scale
+    assert trainer.rcfg.sdf.n_levels >= 2       # fractional-mip path on
+    assert np.isfinite(logs[-1]['loss'])
