@@ -27,6 +27,23 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ('data',))
 
 
+# XLA flags for multi-chip TPU runs: keep the gradient all-reduce off the
+# critical path.  The latency-hiding scheduler overlaps async collective
+# start/done pairs with the backward's compute, and the combiner batches
+# the many per-leaf gradient all-reduces (the sharded step emits ~170 —
+# one per parameter leaf plus scalar loss psums) into few large ones that
+# saturate ICI.  Set these in the environment BEFORE the first jax import
+# of a multi-chip process (single-chip runs ignore them):
+#     os.environ['LIBTPU_INIT_ARGS'] = TPU_MULTICHIP_XLA_FLAGS
+# Recorded here (not auto-applied) because this image exposes one chip
+# through a tunnel — see PARITY.md 'ICI overlap' note for the evidence
+# trail and the CPU-mesh HLO inspection that stands in for a trace.
+TPU_MULTICHIP_XLA_FLAGS = (
+    '--xla_tpu_enable_latency_hiding_scheduler=true '
+    '--xla_all_reduce_combine_threshold_bytes=33554432'
+)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (ray) axis over the mesh."""
     return NamedSharding(mesh, P('data'))

@@ -225,3 +225,18 @@ def test_large_grid_step_256():
     assert plane.shape[0] >= 250, plane.shape   # really at scale
     assert trainer.rcfg.sdf.n_levels >= 2       # fractional-mip path on
     assert np.isfinite(logs[-1]['loss'])
+
+
+@pytest.mark.slow
+def test_blobs_scene_training():
+    """The higher-fidelity procedural scene (smooth-union blobs, varying
+    albedo, analytic normals) trains end-to-end: rgb loss falls, psnr
+    rises. This is the quality-evidence fixture for reference-scale runs
+    (no real dataset ships in the image)."""
+    cfg = tiny_cfg(database_name='toy/blobs_48_8')
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    logs = trainer.train(n_steps=60, log_every=10)
+    assert np.isfinite(logs[-1]['loss'])
+    assert logs[-1]['loss_rgb'] < logs[0]['loss_rgb']
+    assert logs[-1]['psnr'] > logs[0]['psnr']
