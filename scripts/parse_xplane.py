@@ -99,7 +99,9 @@ def main(path):
                             fine[nm] += dur
                             cnt[nm] += 1
         print(f'-- top instructions ({name})')
-        for k, d in fine.most_common(40):
+        import os
+        topn = int(os.environ.get('PARSE_TOPN', 40))
+        for k, d in fine.most_common(topn):
             print(f'  {d / 1e9:9.3f} ms  x{cnt[k]:<4d} {k}')
 
 
