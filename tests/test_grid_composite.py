@@ -165,8 +165,8 @@ def test_packed_tap_matches_dense_sample():
     rng = np.random.RandomState(1)
     pts = jnp.asarray(rng.uniform(-1.1, 1.1, (500, 3)).astype(np.float32))
     dense = np.asarray(sdf_trace.sample_sdf_grid(grid, pts))
-    packed, g = sdf_trace._packed_tap(pg.rows, pg.aabb, pts,
-                                      want_grad=True)
+    # block_tap is the full-resolution eval path of the v2 packed grid
+    packed, g = sdf_trace.block_tap(pg, pts, want_grad=True)
     np.testing.assert_allclose(np.asarray(packed), dense, atol=1e-5)
     # analytic gradient ~ radial direction inside the aabb, away from
     # cell-boundary kinks
@@ -198,8 +198,16 @@ def test_packed_trace_matches_dense():
     assert (h_d != h_p).mean() < 0.03, (h_d != h_p).mean()
     both = h_d & h_p
     assert both.sum() > 50
-    np.testing.assert_allclose(np.asarray(t_p)[both, 0],
-                               np.asarray(t_d)[both, 0], atol=0.02)
+    # v2 packed trace marches at R/2 (PackedSDFGrid docstring): grazing
+    # rays may land a mid-cell off, so like the hit-decision line above
+    # we bound the TAIL (97%) instead of the max, plus a tight median
+    dt = np.abs(np.asarray(t_p)[both, 0] - np.asarray(t_d)[both, 0])
+    assert np.quantile(dt, 0.97) < 0.02, np.quantile(dt, 0.97)
+    # truth-anchored accuracy: the full-res Newton polish lands ON the
+    # zero crossing (the dense path, like the reference tracer, stops
+    # hit_eps short), so check the hit radius against the true sphere
+    rad = np.linalg.norm(np.asarray(i_p)[both], axis=-1)
+    assert abs(np.median(rad) - 0.5) < 0.002, np.median(rad)
     cos = np.sum(np.asarray(n_p)[both] * np.asarray(n_d)[both], -1)
     assert (cos > 0.99).mean() > 0.97, cos.min()
 
