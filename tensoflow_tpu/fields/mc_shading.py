@@ -257,14 +257,16 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
         # back to the outer light. One packed [N,9] gather instead of 3
         # narrow [N,3] gathers — 12B rows run at ~10ns each on TPU
         # (round-3 material trace), so the payload rides one row.
-        from ..ops.grid import compact_indices, scatter_back
+        from ..ops.grid import compact_indices, compact_take, scatter_back
         m = max(int(n_rays * cfg.inner_light_budget), 1)
         src, slot_mask, dest = compact_indices(hit, m)
         payload = jnp.concatenate([inters, -d, normals], axis=-1)
-        pm = jnp.take(payload, src, axis=0, mode='clip')
+        # compact_take / scatter_back(src=...) use the injective-inverse
+        # VJPs: gathers both ways, no 1M-update scatter-adds (trace r3)
+        pm = compact_take(payload, src, dest, slot_mask)
         inner_m = get_inner_lights(
             params, cfg, pm[:, 0:3], pm[:, 3:6], pm[:, 6:9])
-        inner = scatter_back(inner_m, dest)
+        inner = scatter_back(inner_m, dest, src=src, slot_mask=slot_mask)
         mapped = dest < m
         lights = jnp.where((hit & mapped)[:, None], inner, outer)
     else:

@@ -353,15 +353,91 @@ def compact_indices(valid_flat, m: int):
     return src, slot_mask, dest
 
 
-def scatter_back(values_m, dest, fill=0.0):
+def scatter_back(values_m, dest, fill=0.0, src=None, slot_mask=None):
     """Expand compacted per-slot values [M, ...] back to flat [N, ...]:
-    out[i] = values_m[dest[i]] for mapped sources, ``fill`` elsewhere."""
+    out[i] = values_m[dest[i]] for mapped sources, ``fill`` elsewhere.
+
+    When ``src``/``slot_mask`` from the same compact_indices call are
+    passed, the VJP uses the INVERSE gather instead of XLA's generic
+    scatter-add: dest is injective on mapped sources by construction
+    (each kept source owns a unique slot), so
+    d values_m[j] = g[src[j]] * slot_mask[j] exactly.  The scatter-add
+    form cost 41.5 ms/step at stage-2 scale (round-3 trace, 1.05M
+    updates into [524k,3]); the gather form is ~20x cheaper."""
+    if src is None:
+        return _scatter_back_dense(values_m, dest, fill)
+    return _scatter_back_inv(values_m, dest, src, slot_mask, fill)
+
+
+def _scatter_back_dense(values_m, dest, fill=0.0):
     m = values_m.shape[0]
     mapped = dest < m
     gathered = jnp.take(values_m, jnp.clip(dest, 0, m - 1), axis=0,
                         mode='clip')
     shape = mapped.shape + (1,) * (gathered.ndim - 1)
     return jnp.where(mapped.reshape(shape), gathered, fill)
+
+
+def _int_zero_cots(*arrs):
+    import jax.dtypes
+    return tuple(np.zeros(a.shape, jax.dtypes.float0) for a in arrs)
+
+
+@jax.custom_vjp
+def _scatter_back_inv(values_m, dest, src, slot_mask, fill):
+    return _scatter_back_dense(values_m, dest, fill)
+
+
+def _sbi_fwd(values_m, dest, src, slot_mask, fill):
+    return _scatter_back_inv(values_m, dest, src, slot_mask, fill), \
+        (dest, src, slot_mask)
+
+
+def _sbi_bwd(res, g):
+    dest, src, slot_mask = res
+    dv = jnp.take(g, src, axis=0, mode='clip')
+    mshape = slot_mask.shape + (1,) * (dv.ndim - 1)
+    dv = jnp.where(slot_mask.reshape(mshape), dv, 0.0)
+    zi = _int_zero_cots(dest, src, slot_mask)
+    # fill cotangent: the unmapped sources' g
+    m = src.shape[0]
+    unmapped = dest >= m
+    dfill = jnp.sum(g * unmapped.reshape(
+        unmapped.shape + (1,) * (g.ndim - 1)).astype(g.dtype))
+    return (dv, *zi, dfill)
+
+
+_scatter_back_inv.defvjp(_sbi_fwd, _sbi_bwd)
+
+
+def compact_take(values, src, dest, slot_mask):
+    """[N, C] -> [M, C] gather by ``src`` whose VJP is the inverse
+    gather by ``dest`` (no scatter — see scatter_back): d values[i] =
+    g[dest[i]] for mapped i, 0 elsewhere."""
+    return _compact_take(values, src, dest, slot_mask)
+
+
+@jax.custom_vjp
+def _compact_take(values, src, dest, slot_mask):
+    return jnp.take(values, src, axis=0, mode='clip')
+
+
+def _ct_fwd(values, src, dest, slot_mask):
+    return _compact_take(values, src, dest, slot_mask), \
+        (src, dest, slot_mask)
+
+
+def _ct_bwd(res, g):
+    src, dest, slot_mask = res
+    m = src.shape[0]
+    mapped = dest < m
+    dv = jnp.take(g, jnp.clip(dest, 0, m - 1), axis=0, mode='clip')
+    mshape = mapped.shape + (1,) * (dv.ndim - 1)
+    dv = jnp.where(mapped.reshape(mshape), dv, 0.0)
+    return (dv, *_int_zero_cots(src, dest, slot_mask))
+
+
+_compact_take.defvjp(_ct_fwd, _ct_bwd)
 
 
 def max_pool_3d_3x3(vol):

@@ -260,3 +260,43 @@ def test_block_march_matches_plain_query():
             state_noblk, cfg, o, d, near, far, float(ss), nc, 48)
         for a, b in zip(res_blk, res_ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_inverse_vjps_match_dense_autodiff():
+    """compact_take / scatter_back(src=...) replace the take-VJP
+    scatter-adds with the injective inverse gathers (round-3 stage-2
+    trace: 41.5ms/step). Gradients must equal the plain autodiff path
+    for every mapped source; invalid-slot cotangents are exactly zero
+    (the plain path spuriously accumulates them at index 0)."""
+    rng = np.random.RandomState(0)
+    n, m, c = 64, 24, 3
+    valid = rng.rand(n) > 0.6
+    values = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    vm = jnp.asarray(rng.randn(m, c).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    g_mid = jnp.asarray(rng.randn(m, c).astype(np.float32))
+    src, slot_mask, dest = grid_mod.compact_indices(
+        jnp.asarray(valid), m)
+
+    # compact_take vs plain take
+    f_new = lambda v: jnp.sum(
+        grid_mod.compact_take(v, src, dest, slot_mask) * g_mid)
+    f_old = lambda v: jnp.sum(
+        jnp.take(v, src, axis=0, mode='clip') * g_mid)
+    gn = np.asarray(jax.grad(f_new)(values))
+    go = np.asarray(jax.grad(f_old)(values))
+    kept = np.asarray(dest) < m
+    np.testing.assert_allclose(gn[kept], go[kept], rtol=1e-6)
+    assert (gn[~kept] == 0).all()
+
+    # scatter_back inverse VJP vs dense
+    s_new = lambda v: jnp.sum(grid_mod.scatter_back(
+        v, dest, src=src, slot_mask=slot_mask) * g_out)
+    s_old = lambda v: jnp.sum(grid_mod.scatter_back(v, dest) * g_out)
+    np.testing.assert_allclose(np.asarray(jax.grad(s_new)(vm)),
+                               np.asarray(jax.grad(s_old)(vm)), rtol=1e-6)
+    # primals identical
+    np.testing.assert_array_equal(
+        np.asarray(grid_mod.scatter_back(vm, dest, src=src,
+                                         slot_mask=slot_mask)),
+        np.asarray(grid_mod.scatter_back(vm, dest)))
