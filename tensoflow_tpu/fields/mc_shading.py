@@ -346,16 +346,6 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     hov_diff = saturate_dot(h_diff, view_dirs[:, None, :])
 
     kd = 1.0 - metallic[:, None, :]
-    diffuse_lights, _ = get_lights(
-        params, cfg, grid, unit_size,
-        jnp.broadcast_to(pts[:, None, :], diffuse_dirs.shape), diffuse_dirs,
-        human_poses)
-    diffuse_weights = (albedo[:, None, :] * kd
-                       * (saturate_dot(diffuse_dirs, normals[:, None, :])
-                          / np.pi))
-    diffuse_colors = jnp.mean(
-        diffuse_weights * diffuse_lights
-        / jnp.maximum(diffuse_prob, EPS), 1)
 
     # ---------------- specular sampling ----------------
     stable = jnp.asarray(direction_samples_01(cfg.specular_sample_num))
@@ -386,10 +376,27 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     geom = brdf_geometry(nov, nol, roughness[:, None, :], cfg.geometry_type)
     noh = saturate_dot(normals[:, None, :], h_spec)
     dist = distribution_ggx(noh, roughness[:, None, :])
-    spec_lights, light_hit = get_lights(
+
+    # ONE batched secondary-ray pass for diffuse + specular: the trace's
+    # fori_loops carry ~40% non-gather overhead per phase (round-3
+    # material trace), so 8 whiles + two table stagings become 4 + one
+    dn = diffuse_dirs.shape[1]
+    all_dirs = jnp.concatenate([diffuse_dirs, spec_dirs], 1)
+    all_lights, all_hit = get_lights(
         params, cfg, grid, unit_size,
-        jnp.broadcast_to(pts[:, None, :], spec_dirs.shape), spec_dirs,
+        jnp.broadcast_to(pts[:, None, :], all_dirs.shape), all_dirs,
         human_poses)
+    diffuse_lights = all_lights[:, :dn]
+    spec_lights = all_lights[:, dn:]
+    light_hit = all_hit[:, dn:]
+
+    diffuse_weights = (albedo[:, None, :] * kd
+                       * (saturate_dot(diffuse_dirs, normals[:, None, :])
+                          / np.pi))
+    diffuse_colors = jnp.mean(
+        diffuse_weights * diffuse_lights
+        / jnp.maximum(diffuse_prob, EPS), 1)
+
     spec_weights = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
     specular_colors = jnp.sum(
         spec_mask_f * spec_weights * spec_lights
