@@ -36,6 +36,16 @@ from ..ops import grid as grid_mod
 from ..parallel import sharding
 from . import checkpoints, losses
 
+# adaptive sample-budget buckets (compact_samples_per_ray candidates) and
+# the safety margin over the EMA of mean valid samples/ray; shared with
+# bench.py so the benchmark sizes its budget exactly like the trainer.
+# The budget pools GLOBALLY across the ray batch, so the batch total
+# concentrates (CLT over ~2k rays: std ~2% of total); 1.5x covers the
+# between-occ-update drift, and overflow degrades gracefully (the
+# heaviest rays lose their farthest samples for one interval).
+BUDGET_BUCKETS = (16, 24, 32, 48, 64, 96, 128)
+BUDGET_MARGIN = 1.5
+
 
 def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
                        ) -> sr.ShapeRendererConfig:
@@ -49,6 +59,7 @@ def build_shape_config(cfg: Dict[str, Any], grid_size, n_levels: int
         n_comp=cfg['sdf_n_comp'], sdf_dim=cfg['sdf_dim'],
         app_dim=cfg['app_dim'], n_levels=n_levels,
         sdf_multires=cfg['sdf_multires'],
+        init_radius=float(cfg.get('init_radius', 0.2)),
         gather_dtype=cfg.get('gather_dtype', 'float32'),
         stencil_impl=cfg.get('stencil_impl', 'auto'),
         stencil_tile=tile)
@@ -174,6 +185,7 @@ class ShapeTrainer:
         self.opt_reset_step = 0
         self._compiled = {}
         self.occ_update_interval = 100
+        self._budget_ema = None
 
         if self.mesh is not None:
             self.params = sharding.replicate_tree(self.mesh, self.params)
@@ -299,6 +311,31 @@ class ShapeTrainer:
         occ_on = step >= self.cfg['occ_loss_step']
         return radiance_on, occ_on
 
+    def maybe_adapt_budget(self, step: int, aux):
+        """Right-size the global sample-compaction budget to the live
+        occupancy (every occ-update interval, from the step's mean valid
+        samples/ray).  The reference's nerfacc estimator pays only for
+        actually-occupied samples (variable-length lists); with fixed
+        TPU shapes the equivalent is a phase-keyed recompile onto a
+        smaller budget bucket — the occ grid tightens to a surface band
+        over training and a stale budget wastes most of the stencil /
+        gather / scatter work (measured 15.7%% slot utilization on the
+        bench occupancy, scripts/probe_samples.py)."""
+        if not (self.rcfg.use_occ_grid
+                and self.cfg.get('adaptive_sample_budget', True)):
+            return
+        if step % self.occ_update_interval != 0 or 'sample_num' not in aux:
+            return
+        mean = float(aux['sample_num'])   # one scalar fetch per interval
+        self._budget_ema = (mean if self._budget_ema is None
+                            else 0.5 * self._budget_ema + 0.5 * mean)
+        cap = int(self.cfg.get('compact_samples_per_ray', 64))
+        need = self._budget_ema * BUDGET_MARGIN
+        bucket = next((b for b in BUDGET_BUCKETS if b >= need and b <= cap),
+                      cap)
+        if bucket != self.rcfg.compact_samples_per_ray:
+            self.rcfg = self.rcfg._replace(compact_samples_per_ray=bucket)
+
     # ------------------------------------------------------------------
     # main loop
     # ------------------------------------------------------------------
@@ -336,6 +373,7 @@ class ShapeTrainer:
                 if callback:
                     callback(host)
 
+            self.maybe_adapt_budget(step, aux)
             self.maybe_update_alpha_mask(step)
             if self.maybe_upsample(step):
                 pass

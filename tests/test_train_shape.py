@@ -240,3 +240,37 @@ def test_blobs_scene_training():
     assert np.isfinite(logs[-1]['loss'])
     assert logs[-1]['loss_rgb'] < logs[0]['loss_rgb']
     assert logs[-1]['psnr'] > logs[0]['psnr']
+
+
+@pytest.mark.slow
+def test_adaptive_sample_budget_switches_and_trains():
+    """maybe_adapt_budget right-sizes compact_samples_per_ray to the live
+    occupancy (nerfacc parity: pay only for occupied samples). A low
+    sample_num report must drop the budget to a smaller bucket, trigger a
+    phase-keyed recompile, and training must continue finite."""
+    from tensoflow_tpu.train import trainer as trainer_mod
+    cfg = tiny_cfg(use_occ_grid=True, occ_grid_reso=32, occ_max_samples=48,
+                   compact_samples_per_ray=48)
+    t = ShapeTrainer(cfg)
+    t.init_dataset()
+    logs = t.train(n_steps=2, log_every=1)
+    # the toy occupancy is sparse: the step-0 report already adapts down
+    adapted = t.rcfg.compact_samples_per_ray
+    assert adapted in trainer_mod.BUDGET_BUCKETS and adapted <= 48
+    # occupancy widened again: a high report switches UP (fresh EMA)
+    t._budget_ema = None
+    t.maybe_adapt_budget(t.occ_update_interval, {'sample_num': 40.0})
+    assert t.rcfg.compact_samples_per_ray == 48   # 40 * 1.5 -> capped 48
+    # tightened: low report drops to the smallest covering bucket
+    t._budget_ema = None
+    t.maybe_adapt_budget(t.occ_update_interval, {'sample_num': 5.0})
+    assert t.rcfg.compact_samples_per_ray == 16
+    logs = t.train(n_steps=2, log_every=1)        # recompiles, still sane
+    assert np.isfinite(logs[-1]['loss'])
+    # off-interval reports and disabled flag are no-ops
+    t._budget_ema = None
+    t.maybe_adapt_budget(t.occ_update_interval + 1, {'sample_num': 40.0})
+    assert t.rcfg.compact_samples_per_ray == 16
+    t.cfg['adaptive_sample_budget'] = False
+    t.maybe_adapt_budget(2 * t.occ_update_interval, {'sample_num': 40.0})
+    assert t.rcfg.compact_samples_per_ray == 16
