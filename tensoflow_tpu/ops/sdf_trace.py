@@ -317,8 +317,8 @@ _packed_tap = packed_trilinear_tap
 
 
 def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
-                        n_coarse: int = 16, n_fine: int = 12,
-                        n_bisect: int = 5, n_polish: int = 3,
+                        n_coarse: int = 12, n_fine: int = 10,
+                        n_bisect: int = 4, n_polish: int = 2,
                         hit_eps: float = None,
                         step_scale: float = 0.9, max_dist: float = 4.0):
     """Coarse-to-fine sphere trace on the packed multi-resolution grid.
