@@ -124,17 +124,6 @@ def _hat_terms(frac, sigma, sign):
     return [(k, jnp.maximum(0.0, 1.0 - jnp.abs(r - k))) for k in ks]
 
 
-def _plane_tap(slots, fu, fv, su, sv, pv):
-    """One stencil plane variant from the 16 patch slots ([TN,C] f32)."""
-    sgu, sgv = _PVAR_SIGN[pv]
-    acc = None
-    for ku, wu in _hat_terms(fu, su, sgu):
-        for kv, wv in _hat_terms(fv, sv, sgv):
-            t = (wu * wv) * slots[(ku + 1) * 4 + (kv + 1)]
-            acc = t if acc is None else acc + t
-    return acc
-
-
 def _line_tap(slots, fx, sx, lv):
     acc = None
     for k, w in _hat_terms(fx, sx, _LVAR_SIGN[lv]):
@@ -148,7 +137,15 @@ def _variants(P, L, fr, S, B, C, sigmas):
 
     P/L: B*3 patch refs ([TN,16C] / [TN,4C]); fr [TN, 2*FS] f32.
     Returns (PV, LV): 3x5 / 3x3 lists of [TN,C] f32 (only the variants a
-    7-point (or 1-point) stencil needs are materialized)."""
+    7-point (or 1-point) stencil needs are materialized).
+
+    Factorized separable evaluation (round 3): the u-shifted variants
+    share the CENTER v-axis weights and vice versa, so per plane we form
+    partial sums Rv[ku] = sum_kv wv0[kv]*slot[ku,kv] (center + u+/-
+    derive from Rv) and Ru[kv] = sum_ku wu0[ku]*slot[ku,kv] (v+/-), and
+    only 12 of 16 slots are ever touched — ~30%% fewer [TN,C]-wide VPU
+    ops than blending each variant independently (the kernels are
+    VPU-op-bound, not bandwidth-bound: CLAUDE.md round-3 trace)."""
     n_pv = 5 if S > 1 else 1
     n_lv = 3 if S > 1 else 1
     PV = [[None] * n_pv for _ in range(3)]
@@ -157,13 +154,62 @@ def _variants(P, L, fr, S, B, C, sigmas):
         f = lambda j: fr[:, b * FS + j:b * FS + j + 1]
         wgt = f(9)
         for i in range(3):
-            pslots = [P[b * 3 + i][:, s * C:(s + 1) * C].astype(jnp.float32)
-                      for s in range(16)]
+            pref = P[b * 3 + i]
+            slot = lambda ku, kv: pref[
+                :, ((ku + 1) * 4 + kv + 1) * C:
+                ((ku + 1) * 4 + kv + 1 + 1) * C].astype(jnp.float32)
             fu, fv = f(2 * i), f(2 * i + 1)
             if sigmas[b] is not None:
                 su, sv, _ = sigmas[b][i]
             else:
                 su, sv = f(10 + 2 * i), f(11 + 2 * i)
+            # center-axis hat weights carry the branch weight (a [TN,1]
+            # product — free next to the [TN,C] madds it saves)
+            wv0 = [(kv, wgt * w) for kv, w in _hat_terms(fv, sv, 0)]
+            wu0 = [(ku, wgt * w) for ku, w in _hat_terms(fu, su, 0)]
+            if n_pv == 1:
+                c = None
+                for ku, wu in _hat_terms(fu, su, 0):
+                    rv = None
+                    for kv, wv in wv0:
+                        _t = wv * slot(ku, kv)
+                        rv = _t if rv is None else rv + _t
+                    t = wu * rv
+                    c = t if c is None else c + t
+                PV[i][0] = c if PV[i][0] is None else PV[i][0] + c
+            else:
+                # Rv[ku]: v-blended rows for every ku a u-variant taps
+                rv = {}
+                for ku in (-1, 0, 1, 2):
+                    acc = None
+                    for kv, wv in wv0:
+                        t = wv * slot(ku, kv)
+                        acc = t if acc is None else acc + t
+                    rv[ku] = acc
+                for pv in (0, 1, 2):        # center, u+, u-
+                    sgu = _PVAR_SIGN[pv][0]
+                    acc = None
+                    for ku, wu in _hat_terms(fu, su, sgu):
+                        t = wu * rv[ku]
+                        acc = t if acc is None else acc + t
+                    PV[i][pv] = (acc if PV[i][pv] is None
+                                 else PV[i][pv] + acc)
+                # Ru[kv]: u-blended rows for the v-shifted variants
+                ru = {}
+                for kv in (-1, 0, 1, 2):
+                    acc = None
+                    for ku, wu in wu0:
+                        t = wu * slot(ku, kv)
+                        acc = t if acc is None else acc + t
+                    ru[kv] = acc
+                for pv in (3, 4):           # v+, v-
+                    sgv = _PVAR_SIGN[pv][1]
+                    acc = None
+                    for kv, wv in _hat_terms(fv, sv, sgv):
+                        t = wv * ru[kv]
+                        acc = t if acc is None else acc + t
+                    PV[i][pv] = (acc if PV[i][pv] is None
+                                 else PV[i][pv] + acc)
             lslots = [L[b * 3 + i][:, s * C:(s + 1) * C].astype(jnp.float32)
                       for s in range(4)]
             fx = f(6 + i)
@@ -171,9 +217,6 @@ def _variants(P, L, fr, S, B, C, sigmas):
                 sx = sigmas[b][i][2]
             else:
                 sx = f(16 + i)
-            for pv in range(n_pv):
-                t = wgt * _plane_tap(pslots, fu, fv, su, sv, pv)
-                PV[i][pv] = t if PV[i][pv] is None else PV[i][pv] + t
             for lv in range(n_lv):
                 t = wgt * _line_tap(lslots, fx, sx, lv)
                 LV[i][lv] = t if LV[i][lv] is None else LV[i][lv] + t
@@ -428,18 +471,39 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
                 su, sv = f(10 + 2 * i), f(11 + 2 * i)
                 sx = f(16 + i)
             fx = f(6 + i)
+            # transposed factorization (see _variants): route center/u+-
+            # cotangents through dRv[ku] (shared center-v weights), v+-
+            # through dRu[kv] — ~30% fewer [TN,C] madds than per-variant
+            # pair routing
             dpatch = [None] * 16
-            for pv in range(n_pv):
+            wv0 = [(kv, wgt * w) for kv, w in _hat_terms(fv, sv, 0)]
+            wu0 = [(ku, wgt * w) for ku, w in _hat_terms(fu, su, 0)]
+            drv = {}
+            for pv in range(min(n_pv, 3)):          # center, u+, u-
                 if dPV[i][pv] is None:
                     continue
-                g = wgt * dPV[i][pv]
-                sgu, sgv = _PVAR_SIGN[pv]
-                for ku, wu in _hat_terms(fu, su, sgu):
-                    for kv, wv in _hat_terms(fv, sv, sgv):
-                        sl = (ku + 1) * 4 + (kv + 1)
-                        t = (wu * wv) * g
-                        dpatch[sl] = t if dpatch[sl] is None \
-                            else dpatch[sl] + t
+                for ku, wu in _hat_terms(fu, su, _PVAR_SIGN[pv][0]):
+                    t = wu * dPV[i][pv]
+                    drv[ku] = t if drv.get(ku) is None else drv[ku] + t
+            for ku, g in drv.items():
+                for kv, wv in wv0:
+                    sl = (ku + 1) * 4 + (kv + 1)
+                    t = wv * g
+                    dpatch[sl] = t if dpatch[sl] is None \
+                        else dpatch[sl] + t
+            dru = {}
+            for pv in range(3, n_pv):               # v+, v-
+                if dPV[i][pv] is None:
+                    continue
+                for kv, wv in _hat_terms(fv, sv, _PVAR_SIGN[pv][1]):
+                    t = wv * dPV[i][pv]
+                    dru[kv] = t if dru.get(kv) is None else dru[kv] + t
+            for kv, g in dru.items():
+                for ku, wu in wu0:
+                    sl = (ku + 1) * 4 + (kv + 1)
+                    t = wu * g
+                    dpatch[sl] = t if dpatch[sl] is None \
+                        else dpatch[sl] + t
             dref = dP[b * 3 + i]
             for sl in range(16):
                 v = dpatch[sl]
