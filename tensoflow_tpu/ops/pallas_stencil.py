@@ -124,10 +124,10 @@ def _hat_terms(frac, sigma, sign):
     return [(k, jnp.maximum(0.0, 1.0 - jnp.abs(r - k))) for k in ks]
 
 
-def _line_tap(slots, fx, sx, lv):
+def _line_tap(slots, fx, sx, lv, bd):
     acc = None
     for k, w in _hat_terms(fx, sx, _LVAR_SIGN[lv]):
-        t = w * slots[k + 1]
+        t = w.astype(bd) * slots[k + 1]
         acc = t if acc is None else acc + t
     return acc
 
@@ -145,7 +145,14 @@ def _variants(P, L, fr, S, B, C, sigmas):
     derive from Rv) and Ru[kv] = sum_ku wu0[ku]*slot[ku,kv] (v+/-), and
     only 12 of 16 slots are ever touched — ~30%% fewer [TN,C]-wide VPU
     ops than blending each variant independently (the kernels are
-    VPU-op-bound, not bandwidth-bound: CLAUDE.md round-3 trace)."""
+    VPU-op-bound, not bandwidth-bound: CLAUDE.md round-3 trace).
+
+    All [TN,C]-wide madds run in the patches' dtype (bf16 when gathers
+    are bf16 — packed vregs halve the VPU op count; the [TN,1] weight
+    products stay f32 and cast once).  The backward already rebuilt X
+    from bf16-saved variants, so training gradients saw this rounding
+    before round 3 made the forward consistent with it."""
+    bd = P[0].dtype
     n_pv = 5 if S > 1 else 1
     n_lv = 3 if S > 1 else 1
     PV = [[None] * n_pv for _ in range(3)]
@@ -157,7 +164,7 @@ def _variants(P, L, fr, S, B, C, sigmas):
             pref = P[b * 3 + i]
             slot = lambda ku, kv: pref[
                 :, ((ku + 1) * 4 + kv + 1) * C:
-                ((ku + 1) * 4 + kv + 1 + 1) * C].astype(jnp.float32)
+                ((ku + 1) * 4 + kv + 1 + 1) * C]
             fu, fv = f(2 * i), f(2 * i + 1)
             if sigmas[b] is not None:
                 su, sv, _ = sigmas[b][i]
@@ -165,8 +172,10 @@ def _variants(P, L, fr, S, B, C, sigmas):
                 su, sv = f(10 + 2 * i), f(11 + 2 * i)
             # center-axis hat weights carry the branch weight (a [TN,1]
             # product — free next to the [TN,C] madds it saves)
-            wv0 = [(kv, wgt * w) for kv, w in _hat_terms(fv, sv, 0)]
-            wu0 = [(ku, wgt * w) for ku, w in _hat_terms(fu, su, 0)]
+            wv0 = [(kv, (wgt * w).astype(bd))
+                   for kv, w in _hat_terms(fv, sv, 0)]
+            wu0 = [(ku, (wgt * w).astype(bd))
+                   for ku, w in _hat_terms(fu, su, 0)]
             if n_pv == 1:
                 c = None
                 for ku, wu in _hat_terms(fu, su, 0):
@@ -174,7 +183,7 @@ def _variants(P, L, fr, S, B, C, sigmas):
                     for kv, wv in wv0:
                         _t = wv * slot(ku, kv)
                         rv = _t if rv is None else rv + _t
-                    t = wu * rv
+                    t = wu.astype(bd) * rv
                     c = t if c is None else c + t
                 PV[i][0] = c if PV[i][0] is None else PV[i][0] + c
             else:
@@ -190,7 +199,7 @@ def _variants(P, L, fr, S, B, C, sigmas):
                     sgu = _PVAR_SIGN[pv][0]
                     acc = None
                     for ku, wu in _hat_terms(fu, su, sgu):
-                        t = wu * rv[ku]
+                        t = wu.astype(bd) * rv[ku]
                         acc = t if acc is None else acc + t
                     PV[i][pv] = (acc if PV[i][pv] is None
                                  else PV[i][pv] + acc)
@@ -206,19 +215,20 @@ def _variants(P, L, fr, S, B, C, sigmas):
                     sgv = _PVAR_SIGN[pv][1]
                     acc = None
                     for kv, wv in _hat_terms(fv, sv, sgv):
-                        t = wv * ru[kv]
+                        t = wv.astype(bd) * ru[kv]
                         acc = t if acc is None else acc + t
                     PV[i][pv] = (acc if PV[i][pv] is None
                                  else PV[i][pv] + acc)
-            lslots = [L[b * 3 + i][:, s * C:(s + 1) * C].astype(jnp.float32)
+            lslots = [L[b * 3 + i][:, s * C:(s + 1) * C]
                       for s in range(4)]
             fx = f(6 + i)
             if sigmas[b] is not None:
                 sx = sigmas[b][i][2]
             else:
                 sx = f(16 + i)
+            wgt_b = wgt.astype(bd)
             for lv in range(n_lv):
-                t = wgt * _line_tap(lslots, fx, sx, lv)
+                t = wgt_b * _line_tap(lslots, fx, sx, lv, bd)
                 LV[i][lv] = t if LV[i][lv] is None else LV[i][lv] + t
     return PV, LV
 
@@ -231,13 +241,14 @@ def _assemble_x(X, PV, LV, pes, S, TN, C, E, mapping):
     the MXU."""
     xw = X.shape[-1]
     pad = xw - (3 * C + E)
-    zpad = [jnp.zeros((TN, pad), jnp.float32)] if pad else []
+    zpad = [jnp.zeros((TN, pad), X.dtype)] if pad else []
     for s in range(S):
         rows = slice(s * TN, (s + 1) * TN)
-        prods = [PV[i][mapping[s][i][0]] * LV[i][mapping[s][i][1]]
+        prods = [(PV[i][mapping[s][i][0]]
+                  * LV[i][mapping[s][i][1]]).astype(X.dtype)
                  for i in range(3)]
         X[rows, :] = jnp.concatenate(
-            prods + [pes[s]] + zpad, axis=1).astype(X.dtype)
+            prods + [pes[s].astype(X.dtype)] + zpad, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -395,10 +406,12 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
         if dw1row is not None:
             dw1row[:] = jnp.zeros_like(dw1row)
 
-    # rebuild the activations from the saved variants
+    # rebuild the activations from the saved variants (cd: the wide
+    # madds of the rebuild/product-rule/routing sections all run packed
+    # when cd is bf16 — these sections are VPU-op-bound)
     n_pv = 5 if S > 1 else 1
     n_lv = 3 if S > 1 else 1
-    v = V[:].astype(jnp.float32)
+    v = V[:]
     PV = [[v[:, (i * n_pv + pv) * C:(i * n_pv + pv + 1) * C]
            for pv in range(n_pv)] for i in range(3)]
     loff = 3 * n_pv * C
@@ -441,7 +454,7 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
         rows = slice(s * TN, (s + 1) * TN)
         for i in range(3):
             pv, lv = mapping[s][i]
-            dxi = dX[rows, i * C:(i + 1) * C]
+            dxi = dX[rows, i * C:(i + 1) * C].astype(cd)
             dp = dxi * LV[i][lv]
             dl = dxi * PV[i][pv]
             dPV[i][pv] = dp if dPV[i][pv] is None else dPV[i][pv] + dp
@@ -476,14 +489,16 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
             # through dRu[kv] — ~30% fewer [TN,C] madds than per-variant
             # pair routing
             dpatch = [None] * 16
-            wv0 = [(kv, wgt * w) for kv, w in _hat_terms(fv, sv, 0)]
-            wu0 = [(ku, wgt * w) for ku, w in _hat_terms(fu, su, 0)]
+            wv0 = [(kv, (wgt * w).astype(cd))
+                   for kv, w in _hat_terms(fv, sv, 0)]
+            wu0 = [(ku, (wgt * w).astype(cd))
+                   for ku, w in _hat_terms(fu, su, 0)]
             drv = {}
             for pv in range(min(n_pv, 3)):          # center, u+, u-
                 if dPV[i][pv] is None:
                     continue
                 for ku, wu in _hat_terms(fu, su, _PVAR_SIGN[pv][0]):
-                    t = wu * dPV[i][pv]
+                    t = wu.astype(cd) * dPV[i][pv]
                     drv[ku] = t if drv.get(ku) is None else drv[ku] + t
             for ku, g in drv.items():
                 for kv, wv in wv0:
@@ -496,7 +511,7 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
                 if dPV[i][pv] is None:
                     continue
                 for kv, wv in _hat_terms(fv, sv, _PVAR_SIGN[pv][1]):
-                    t = wv * dPV[i][pv]
+                    t = wv.astype(cd) * dPV[i][pv]
                     dru[kv] = t if dru.get(kv) is None else dru[kv] + t
             for kv, g in dru.items():
                 for ku, wu in wu0:
@@ -514,9 +529,9 @@ def _bwd_kernel(*refs, S, TN, B, C, E, sigmas, mapping, cd):
             for lv in range(n_lv):
                 if dLV[i][lv] is None:
                     continue
-                g = wgt * dLV[i][lv]
+                g = wgt.astype(cd) * dLV[i][lv]
                 for kx, wx in _hat_terms(fx, sx, _LVAR_SIGN[lv]):
-                    t = wx * g
+                    t = wx.astype(cd) * g
                     dline[kx + 1] = t if dline[kx + 1] is None \
                         else dline[kx + 1] + t
             lref = dL[b * 3 + i]
