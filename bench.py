@@ -19,6 +19,82 @@ import numpy as np
 BASELINE_RAYS_PER_S = 25000.0  # CUDA reference anchor (see module docstring)
 
 
+def trace_accounting(run_step, fetch, outdir='/tmp/bench_prof'):
+    """Capture a 2-step device trace and derive honest perf counters:
+    the middle-step span, the union-busy compute time, per-component ms
+    (top device instructions), and boundary-buffer GB/s — bytes of every
+    tensor named at executed instruction boundaries (fusion inputs +
+    outputs, each counted once per execution).  Unlike XLA cost
+    analysis's 'bytes accessed' this cannot double-count reads inside a
+    fusion, so it stays below the chip's physical peak (VERDICT r3
+    item 6: round-3 reported 998.5 GB/s on an 819 GB/s chip).
+
+    run_step(i) executes one compiled step; fetch(out) forces completion.
+    """
+    import glob
+    import os
+    import re
+    import shutil
+    import sys
+
+    import jax
+
+    shutil.rmtree(outdir, ignore_errors=True)
+    out = None
+    with jax.profiler.trace(outdir):
+        for i in range(2):
+            out = run_step(i)
+        fetch(out)
+    pbs = glob.glob(os.path.join(outdir, 'plugins/profile/*/*.xplane.pb'))
+    if not pbs:
+        return {}
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'scripts'))
+    import xplane_bin
+    planes = xplane_bin.parse(pbs[0])
+    if not planes:
+        return {}
+    _, meta, lines = planes[0]
+    wins = xplane_bin.step_windows(lines, meta)
+    if not wins:
+        return {}
+    w0, w1 = wins[-1]
+    step_ms = (w1 - w0) / 1e9
+
+    import collections
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for lname, events in lines:
+        for mid_, off, dur in events:
+            if off >= w0 and off + dur <= w1:
+                agg[mid_] += dur
+                cnt[mid_] += 1
+    gb = 0.0
+    rows = []
+    for mid_ in agg:
+        nm = meta.get(mid_, str(mid_))
+        # whiles re-name their body's buffers (carry tuple) and the
+        # module event spans everything — skip both for byte accounting
+        if not (nm.startswith('%while') or nm.startswith('jit_')):
+            gb += xplane_bin.hlo_bytes(nm) * cnt[mid_] / 1e9
+        rows.append((agg[mid_] / 1e9, cnt[mid_], nm))
+    rows.sort(reverse=True)
+    comp = []
+    for ms, c, nm in rows:
+        if nm.startswith('jit_'):
+            continue
+        m = re.match(r'(%\S+) = \S+?[\[{]', nm)
+        label = m.group(1) if m else nm[:40]
+        comp.append({'ms': round(ms, 2), 'x': c, 'op': label})
+        if len(comp) >= 10:
+            break
+    return {
+        'step_ms_trace': round(step_ms, 2),
+        'hbm_gb_per_s_trace': round(gb / (step_ms / 1e3), 1),
+        'components_ms': comp,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -157,13 +233,16 @@ def main():
         'value': round(rays_per_s, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        'anchor': 'estimated',  # op-count estimate of the CUDA reference
         'step_ms': round(1e3 * best_dt / n_iters, 2),
         'samples_per_ray_budget': budget,
         'mean_valid_samples': round(mean_valid, 1),
     }
-    # MFU / bandwidth accounting (VERDICT r1 item 10): XLA's own cost
-    # model for the compiled step, so BENCH_r*.json records WHY rays/s
-    # moved, not just that it did. v5e peak: 197 bf16 TFLOP/s, 819 GB/s.
+    # MFU accounting from the XLA flop count (exact op tally, no
+    # double-count) over the measured wall step.  v5e peak: 197 bf16
+    # TFLOP/s.  Bandwidth comes from the TRACE below, not the cost
+    # model's 'bytes accessed' (which double-counts fused reads and
+    # reported >peak in round 3 — VERDICT r3 item 6).
     try:
         compiled = jitted.lower(params, opt_state, occ_state, batch, 2000,
                                 weights, key).compile()
@@ -172,13 +251,22 @@ def main():
         if ca:
             step_s = best_dt / n_iters
             flops = float(ca.get('flops', 0.0))
-            bytes_acc = float(ca.get('bytes accessed', 0.0))
             record['tflops_per_s'] = round(flops / step_s / 1e12, 2)
-            record['hbm_gb_per_s'] = round(bytes_acc / step_s / 1e9, 1)
             record['mfu_pct_bf16'] = round(
                 100.0 * flops / step_s / 197e12, 2)
     except Exception:
         pass  # cost model availability varies by backend
+
+    # trace-derived accounting: capture 2 steps, read the device plane
+    # directly (scripts/xplane_bin), report per-component ms and the
+    # boundary-buffer bytes actually moved per step
+    try:
+        record.update(trace_accounting(
+            lambda i: jitted(params, opt_state, occ_state, batch,
+                             3000 + i, weights, jax.random.PRNGKey(i)),
+            lambda out: float(out[2])))
+    except Exception as e:
+        record['trace_accounting_error'] = repr(e)[:120]
     print(json.dumps(record), flush=True)
 
     # stage-2 line (verdict r2 item 4: both stages driver-visible, each

@@ -20,9 +20,35 @@ def main():
     parser.add_argument('--cfg', type=str, required=True)
     parser.add_argument('--steps', type=int, default=None,
                         help='limit number of steps (default: cfg total)')
+    parser.add_argument('--mesh', action='store_true',
+                        help='shard the ray batch over all visible devices '
+                             '(1-D data mesh; params replicated, grads '
+                             'all-reduced over ICI)')
+    parser.add_argument('--multihost', type=str, default=None,
+                        metavar='COORD_ADDR',
+                        help='jax.distributed coordinator address '
+                             '(host:port); implies --mesh over the global '
+                             'device set')
+    parser.add_argument('--num-processes', type=int, default=None)
+    parser.add_argument('--process-id', type=int, default=None)
     parser.add_argument('overrides', nargs='*',
                         help='dotlist overrides key=value')
     args = parser.parse_args()
+
+    mesh = None
+    if args.mesh or args.multihost:
+        # collective-overlap flags must land before the TPU runtime spins up
+        os.environ.setdefault('LIBTPU_INIT_ARGS', '')
+        from tensoflow_tpu.parallel import sharding
+        if sharding.TPU_MULTICHIP_XLA_FLAGS not in \
+                os.environ['LIBTPU_INIT_ARGS']:
+            os.environ['LIBTPU_INIT_ARGS'] = (
+                os.environ['LIBTPU_INIT_ARGS'] + ' '
+                + sharding.TPU_MULTICHIP_XLA_FLAGS).strip()
+        mesh = sharding.init_multihost(args.multihost, args.num_processes,
+                                       args.process_id)
+        print(f'[mesh] {mesh.devices.size} devices over '
+              f'{mesh.axis_names}', flush=True)
 
     from tensoflow_tpu.config import load_config
     cfg = load_config(args.cfg, overrides=args.overrides)
@@ -53,13 +79,13 @@ def main():
 
     if cfg.get('network', 'shape') == 'material' or cfg.get('isMaterial'):
         from tensoflow_tpu.train.trainer_mat import MaterialTrainer
-        trainer = MaterialTrainer(cfg, cfg['geo_model_path'])
+        trainer = MaterialTrainer(cfg, cfg['geo_model_path'], mesh=mesh)
         if os.path.exists(ckpt_path) and not cfg['scratch']:
             trainer.load(ckpt_path)
         trainer.init_dataset()
     else:
         from tensoflow_tpu.train.trainer import ShapeTrainer
-        trainer = ShapeTrainer(cfg)
+        trainer = ShapeTrainer(cfg, mesh=mesh)
         if os.path.exists(ckpt_path) and not cfg['scratch']:
             trainer.load(ckpt_path)
         trainer.init_dataset()

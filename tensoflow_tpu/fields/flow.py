@@ -367,8 +367,13 @@ def flow_feature(params, cfg: FlowConfig, pts, aabb, refl_angles01,
     VM field -> MLP(16) ‖ PE(reflection angles) ‖ zeroed roughness embed."""
     xyz01 = contraction(pts, aabb)
     if packed is None:
-        packed = flow_pack(params, cfg)
-    feats = tfield.vm_features_packed(packed, xyz01, None)
+        # flows condition on ~2k points/step, always at level 0: skip the
+        # atlas build (~12ms/field/step of pads/pools/concats, round-4
+        # trace) and bilinear-sample the raw planes directly — identical
+        # level-0 math (test_packed_field equivalence)
+        feats = tfield.vm_features(params['field'], xyz01, None, 1)
+    else:
+        feats = tfield.vm_features_packed(packed, xyz01, None)
     if cfg.nis_multires > 0:
         xyz_in = positional_encoding(pts, cfg.nis_multires)
     else:

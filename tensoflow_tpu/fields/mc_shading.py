@@ -77,6 +77,13 @@ class MCShadingConfig(NamedTuple):
     # outer light (0 = dense, no compaction). Typical hit rates are well
     # under 0.5 for outward hemispheres.
     inner_light_budget: float = 0.5
+    # fraction of secondary rays budgeted for full-fidelity trace
+    # REFINEMENT (mid march + Newton + full-res polish + inner-light MLP,
+    # one shared compaction): the dense coarse phase conservatively
+    # certifies the rest as misses (ops/sdf_trace.sphere_trace_budget).
+    # 0 or >=1 = trace every ray at full fidelity (the round-3 path).
+    # The trainer adapts this to the measured candidate rate.
+    secondary_budget: float = 0.375
 
     # material field
     mat_n_comp: int = 36
@@ -147,10 +154,14 @@ def mat_pack(params, cfg: MCShadingConfig):
 
 
 def tenso_feature(params, cfg: MCShadingConfig, pts, aabb, packed=None):
-    # packed patch atlas: 6 wide gathers per eval, pyramids built once
-    if packed is None:
-        packed = mat_pack(params, cfg)
     xyz01 = contraction(pts, aabb)
+    if packed is None:
+        # stage 2 evaluates this field at only ~2k points/step and always
+        # at level 0: packing the multi-level patch atlas costs ~12ms of
+        # pads/pools/concats per field per step (round-4 trace) to serve a
+        # few thousand gathers — sample the raw planes directly instead
+        # (identical level-0 bilinear math, test_packed_field equivalence)
+        return tfield.vm_features(params['mat_field'], xyz01, None, 1)
     return tfield.vm_features_packed(packed, xyz01, None)
 
 
@@ -223,9 +234,19 @@ def get_human_light(params, points, directions, human_poses):
 
 
 def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
-               unit_size, points, directions, human_poses=None):
+               unit_size, points, directions, human_poses=None,
+               normals=None, stats=None):
     """Secondary-ray radiance for a dense [pn, sn, 3] direction set
     (ref: fields.py:951-975).
+
+    normals: optional [pn,3] launch-surface normals.  When given, trace
+    origins are lifted ~1.5 mid-cells along the normal (in addition to
+    the reference's 2*unit_size ray offset, materialRenderer.py:223): an
+    SDF *grid* cannot separate a tangent ray from its own launch surface
+    the way the reference's exact-mesh BVH does, and without the lift
+    ~40% of cosine-sampled rays false-self-hit at t~0 (round-4 finding).
+    The normals also drive the analytic launch-corridor certification of
+    the budgeted trace (sphere_trace_budget).
 
     Returns (lights [pn,sn,3], hit_mask [pn,sn]).
     """
@@ -233,14 +254,7 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
     eps = 1e-5
     o = (points + directions * eps).reshape(-1, 3)
     d = directions.reshape(-1, 3)
-    # trace origin offset (ref: materialRenderer.py:223 lambda)
-    inters, normals, depth, hit = sdf_trace.sphere_trace(
-        grid, o + 2.0 * unit_size * d, d)
-    # the reference's raytracer is a non-differentiable CUDA op (ref:
-    # raytracing bindings; materialRenderer.py:223) — match that: no
-    # gradient flows from the trace geometry back into the sampled
-    # directions (whose normalize/arccos chain NaNs at degenerate hits).
-    inters, normals, depth = jax.lax.stop_gradient((inters, normals, depth))
+    n_rays = o.shape[0]
 
     outer = predict_outer_lights(params, cfg, o, d)
     if cfg.human_lights and human_poses is not None:
@@ -250,7 +264,58 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
         hl, hw = get_human_light(params, o, d, hp)
         outer = outer * (1.0 - hw) + hl * hw
 
-    n_rays = o.shape[0]
+    o_trace = o + 2.0 * unit_size * d
+    h0 = None
+    if normals is not None:
+        ext = jnp.mean(grid.aabb[1] - grid.aabb[0])
+        if isinstance(grid, sdf_trace.PackedSDFGrid):
+            m_cell = ext / (grid.mid_rows.shape[0] - 1)
+        else:
+            m_cell = ext / grid.resolution
+        nrm = jnp.broadcast_to(normals[:, None, :],
+                               shape + (3,)).reshape(-1, 3)
+        o_trace = o_trace + 1.5 * m_cell * nrm
+        h0 = jnp.sum(d * nrm, -1)
+    o_trace = jax.lax.stop_gradient(o_trace)
+
+    if (isinstance(grid, sdf_trace.PackedSDFGrid)
+            and 0.0 < cfg.secondary_budget < 1.0):
+        # budgeted trace: dense launch certification + ONE shared
+        # compaction for trace refinement AND the inner-light MLP
+        # (ops/sdf_trace.sphere_trace_budget).  The trace is
+        # non-differentiable like the reference's CUDA raytracer
+        # (materialRenderer.py:223) — stop_gradient the ray geometry in.
+        m = max((int(n_rays * cfg.secondary_budget) // 128) * 128, 128)
+        res = sdf_trace.sphere_trace_budget(
+            grid, o_trace, jax.lax.stop_gradient(d), m,
+            h0=None if h0 is None else jax.lax.stop_gradient(h0))
+        if stats is not None:
+            # diagnostics for the trainer's adaptive budget (no host sync
+            # here — fetched with the regular log/adapt cadence)
+            stats['secondary_cand_rate'] = jnp.mean(
+                res.cand.astype(jnp.float32))
+            stats['secondary_hit_rate'] = jnp.mean(
+                res.hit.astype(jnp.float32))
+        inner_m = get_inner_lights(params, cfg, res.inters, res.view_out,
+                                   res.normals)
+        from ..ops.grid import scatter_back
+        inner = scatter_back(inner_m, res.dest, src=res.src,
+                             slot_mask=res.slot_mask)
+        lights = jnp.where(res.hit[:, None], inner, outer)
+        near_mask = (res.depth > eps).astype(lights.dtype)
+        lights = lights * near_mask
+        return lights.reshape(*shape, 3), res.hit.reshape(shape)
+
+    # dense fallback: trace every ray at full fidelity
+    # trace origin offset (ref: materialRenderer.py:223 lambda)
+    inters, normals, depth, hit = sdf_trace.sphere_trace(
+        grid, o_trace, d)
+    # the reference's raytracer is a non-differentiable CUDA op (ref:
+    # raytracing bindings; materialRenderer.py:223) — match that: no
+    # gradient flows from the trace geometry back into the sampled
+    # directions (whose normalize/arccos chain NaNs at degenerate hits).
+    inters, normals, depth = jax.lax.stop_gradient((inters, normals, depth))
+
     if 0.0 < cfg.inner_light_budget < 1.0:
         # compact hit rays before the 4x256 inner-light MLP: misses only
         # need the cubemap lookup above. Overflow beyond the budget falls
@@ -382,10 +447,11 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     # material trace), so 8 whiles + two table stagings become 4 + one
     dn = diffuse_dirs.shape[1]
     all_dirs = jnp.concatenate([diffuse_dirs, spec_dirs], 1)
+    trace_stats: Dict[str, Any] = {}
     all_lights, all_hit = get_lights(
         params, cfg, grid, unit_size,
         jnp.broadcast_to(pts[:, None, :], all_dirs.shape), all_dirs,
-        human_poses)
+        human_poses, normals=normals, stats=trace_stats)
     diffuse_lights = all_lights[:, :dn]
     spec_lights = all_lights[:, dn:]
     light_hit = all_hit[:, dn:]
@@ -421,6 +487,7 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
         'specular_color': jnp.clip(linear_to_srgb(specular_colors), 0, 1),
         'visibility': visibility,
         'indirect_light': indirect_light,
+        **trace_stats,
     }
     # (ref: fields.py:1248 — note the reference adds the already-srgb'd
     # specular color inside the srgb transform; replicated as-is)
@@ -510,7 +577,7 @@ def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     lights, light_hit = get_lights(
         params, cfg, grid, unit_size,
         jnp.broadcast_to(pts[:, None, :], directions.shape), directions,
-        human_poses)
+        human_poses, normals=normals)
 
     kd = 1.0 - metallic[:, None, :]
     diffuse_w = (albedo[:, None, :] * kd

@@ -351,19 +351,23 @@ def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
     c_cap = 8.0 * c_cell
     switch = c_diag + 2.0 * m_cell  # coarse can't resolve closer
 
-    # ray/aabb entry (slab) — outside the grid the field carries no info.
+    # ray/aabb entry AND exit (slab) — outside the grid the field carries
+    # no info, and nothing can be hit past the exit: terminating at t_exit
+    # instead of a fixed max_dist saves the ~10 wasted leaps rays used to
+    # spend covering [exit, max_dist] through empty space (round-4 trace).
     # All loop carries are FLAT [N]: [N,1] columns pick up a T(1,128)
     # layout inside while bodies (1 useful lane of 128) — round-3 trace.
     vec = jnp.where(rays_d == 0, 1e-6, rays_d)
     ra = (pg.aabb[1] - rays_o) / vec
     rb = (pg.aabb[0] - rays_o) / vec
     t_enter = jnp.maximum(jnp.max(jnp.minimum(ra, rb), -1), 0.0)
+    t_exit = jnp.minimum(jnp.min(jnp.maximum(ra, rb), -1), max_dist)
 
     def coarse_body(_, carry):
         t, done = carry
         d = _packed_tap(pg.coarse_rows, pg.aabb,
                         rays_o + rays_d * t[:, None])
-        done_new = done | (d < switch) | (t > max_dist)
+        done_new = done | (d < switch) | (t > t_exit)
         step = jnp.minimum(step_scale * d, c_cap) - c_diag
         t_new = jnp.where(done_new, t, t + jnp.maximum(step, 0.0))
         return t_new, done_new
@@ -375,7 +379,7 @@ def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
         t, done, prev_step = carry
         d = _packed_tap(pg.mid_rows, pg.aabb, rays_o + rays_d * t[:, None])
         hit_now = d < hit_eps_m
-        done_new = done | hit_now | (t > max_dist)
+        done_new = done | hit_now | (t > t_exit)
         step = jnp.minimum(jnp.maximum(d, hit_eps_m * 0.5) * step_scale,
                            step_cap)
         t_new = jnp.where(done_new, t, t + step)
@@ -387,7 +391,7 @@ def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
         0, n_fine, fine_body, (t, jnp.zeros((n,), bool), prev0))
 
     d_end = _packed_tap(pg.mid_rows, pg.aabb, rays_o + rays_d * t[:, None])
-    hit = done & (d_end < 2.0 * hit_eps_m) & (t <= max_dist)
+    hit = done & (d_end < 2.0 * hit_eps_m) & (t <= t_exit)
 
     lo = jnp.maximum(t - jnp.maximum(prev_step, 2.0 * m_cell), 0.0)
     hi = t
@@ -436,3 +440,213 @@ def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
     flip = jnp.sum(normals * rays_d, -1, keepdims=True) >= 0
     normals = jnp.where(flip, -normals, normals)
     return inters, normals, t_final, hit
+
+
+# ---------------------------------------------------------------------------
+# budgeted secondary trace: dense coarse classification + compacted refine
+# ---------------------------------------------------------------------------
+#
+# The stage-2 MC shader fires ~1.8M secondary rays per step, and at that
+# scale the full-fidelity march is the step's dominant cost (round-4 trace:
+# coarse 55ms + fine 69ms + bisect 54ms + polish 57ms of a 424ms step).
+# Most of those rays only need the BINARY answer (miss -> environment
+# lookup); hit position/normal matter only for the rays that feed the
+# inner-light MLP — which the shader already compacts to a budget.  So:
+#
+#   phase A (all N rays): coarse sphere-trace leaps, terminated at the
+#     ray's aabb EXIT (nothing can be hit outside the baked grid).  Rays
+#     that never got near the surface are certified misses — the leap
+#     margin (0.9*d - coarse_diag per step) makes the classification
+#     conservative under the SDF's Lipschitz bound, i.e. no true hit is
+#     classified away; only coarse-cell-thin features can false-positive,
+#     and those go to refinement anyway.
+#   phase B (compacted M rays = candidates): mid-grid march + Newton on
+#     the mid interpolant (replacing 4 bisection taps with ~2 — same
+#     bracket, quadratic convergence) + full-res block polish + analytic
+#     normal.  Every per-tap gather now costs M/N of the dense version.
+#
+# Same hit semantics as sphere_trace_packed (ref: materialRenderer.py:
+# 223-261); results return compacted, with the (src, dest, slot_mask)
+# mapping so the caller can run the inner-light MLP directly on the
+# compacted rows (one shared compaction instead of two).
+
+
+class CompactSecondary(NamedTuple):
+    src: jnp.ndarray        # [M] flat source ray per slot
+    slot_mask: jnp.ndarray  # [M] slot holds a real candidate
+    dest: jnp.ndarray       # [N] slot per ray (M = dropped/miss)
+    inters: jnp.ndarray     # [M,3] refined hit points
+    normals: jnp.ndarray    # [M,3] refined hit normals (flipped)
+    view_out: jnp.ndarray   # [M,3] -d of the compacted rays
+    hit_m: jnp.ndarray      # [M] refined hit verdict per slot
+    hit: jnp.ndarray        # [N] dense hit mask (budget overflow = miss)
+    depth: jnp.ndarray      # [N,1] dense depth (miss = MISS_DEPTH)
+    cand: jnp.ndarray       # [N] refinement-candidate mask (diagnostics /
+    #                         adaptive budget sizing)
+
+
+def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
+                        h0=None,
+                        n_coarse: int = 8, n_fine: int = 7,
+                        n_newton: int = 2, n_polish: int = 2,
+                        hit_eps: float = None, step_scale: float = 0.9,
+                        max_dist: float = 4.0) -> CompactSecondary:
+    """Budgeted two-phase secondary trace (see module comment above).
+
+    m: static refinement budget (slots).  h0: optional [N] cosine between
+    the ray and the launch-surface normal (rays originate ON the traced
+    surface).  With h0 the launch shell is crossed ANALYTICALLY — the
+    surface is locally its tangent plane, so the ray clears the
+    coarse-march resolvability band (``switch``) at
+    t0 = (arm - height(0)) / h0 — and ONE mid-grid probe at t0 validates
+    the plane assumption: if other geometry intruded into the corridor
+    (probe ≪ predicted height) the ray is a refinement candidate from
+    t=0.  Tangent rays (h0 < h_min) can't be certified and go straight
+    to refinement; h0 <= 0 rays (into the surface — the reference never
+    traces these, it compacts NoL>0 first, fields.py:1209) are misses.
+    Callers should offset rays_o by ~1.5 mid-cells along the surface
+    normal so tangent rays don't immediately re-hit their own launch
+    surface (the BVH-vs-SDF-grid robustness gap; see get_lights).
+    """
+    n = rays_o.shape[0]
+    r = pg.reso
+    rm = pg.mid_rows.shape[0]
+    rc = pg.coarse_rows.shape[0]
+    ext_mean = jnp.mean(pg.aabb[1] - pg.aabb[0])
+    cell = ext_mean / (r - 1)
+    m_cell = ext_mean / (rm - 1)
+    c_cell = ext_mean / (rc - 1)
+    c_diag = float(np.sqrt(3.0)) * c_cell
+    if hit_eps is None:
+        hit_eps = 0.75 * cell
+    hit_eps_m = 0.75 * m_cell
+    step_cap = 4.0 * m_cell
+    c_cap = 8.0 * c_cell
+    switch = c_diag + 2.0 * m_cell
+
+    vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+    ra = (pg.aabb[1] - rays_o) / vec
+    rb = (pg.aabb[0] - rays_o) / vec
+    t_enter = jnp.maximum(jnp.max(jnp.minimum(ra, rb), -1), 0.0)
+    t_exit = jnp.minimum(jnp.min(jnp.maximum(ra, rb), -1), max_dist)
+
+    # ---- phase A0: analytic launch-shell crossing + one-probe check ----
+    arm = 1.25 * switch
+    h_min = 0.15
+    delta = 1.5 * m_cell          # callers' normal-offset height
+    if h0 is not None:
+        into = h0 <= 0.0
+        hs = jnp.maximum(h0, h_min)
+        t0 = jnp.minimum((arm - delta) / hs, t_exit)
+        d_probe = _packed_tap(pg.mid_rows, pg.aabb,
+                              rays_o + rays_d * t0[:, None])
+        pred = delta + t0 * jnp.maximum(h0, 0.0)
+        clear = (h0 >= h_min) & (d_probe > 0.6 * jnp.minimum(pred, arm))
+        cand0 = ~clear & ~into
+    else:
+        into = jnp.zeros((n,), bool)
+        t0 = t_enter
+        clear = jnp.ones((n,), bool)
+        cand0 = jnp.zeros((n,), bool)
+
+    # ---- phase A1: dense coarse classification of the clear rays ----
+    def coarse_body(_, carry):
+        t, near = carry
+        d = _packed_tap(pg.coarse_rows, pg.aabb,
+                        rays_o + rays_d * t[:, None])
+        near_new = near | (d < switch)
+        done = near_new | (t > t_exit)
+        step = jnp.maximum(jnp.minimum(step_scale * d, c_cap) - c_diag,
+                           0.0)
+        t_new = jnp.where(done, t, t + step)
+        return t_new, near_new
+
+    tc0 = jnp.where(clear, jnp.maximum(t0, t_enter), t_exit + 1.0)
+    t, near = jax.lax.fori_loop(0, n_coarse, coarse_body,
+                                (tc0, jnp.zeros((n,), bool)))
+    # candidates: launch-uncertified rays (refine from t=0), plus clear
+    # rays whose coarse march got near the surface or ran out of budget
+    # while still inside the grid (conservative)
+    cand = cand0 | (clear & (near | (t <= t_exit)))
+    t = jnp.where(cand0, 0.0, t)
+
+    # ---- compact candidates into the refinement budget ----
+    from .grid import compact_indices
+    src, slot_mask, dest = compact_indices(cand, m)
+    payload = jnp.concatenate(
+        [rays_o, rays_d, t[:, None], t_exit[:, None]], axis=-1)   # [N,8]
+    pm = jnp.take(payload, src, axis=0, mode='clip')              # [M,8]
+    om, dm = pm[:, 0:3], pm[:, 3:6]
+    tm, txm = pm[:, 6], pm[:, 7]
+
+    # ---- phase B: compacted mid march + Newton + full-res polish ----
+    def fine_body(_, carry):
+        t, done, prev_step = carry
+        d = _packed_tap(pg.mid_rows, pg.aabb, om + dm * t[:, None])
+        hit_now = d < hit_eps_m
+        done_new = done | hit_now | (t > txm)
+        step = jnp.minimum(jnp.maximum(d, hit_eps_m * 0.5) * step_scale,
+                           step_cap)
+        t_new = jnp.where(done_new, t, t + step)
+        prev_new = jnp.where(done_new, prev_step, step)
+        return t_new, done_new, prev_new
+
+    prev0 = jnp.full((m,), 2.0 * m_cell, rays_o.dtype)
+    tm, done, prev_step = jax.lax.fori_loop(
+        0, n_fine, fine_body, (tm, jnp.zeros((m,), bool), prev0))
+
+    # Newton on the mid interpolant inside the last-step bracket: the
+    # crossing sits in [t - prev_step, t]; the interpolant's analytic
+    # in-cell gradient makes each tap a full Newton update (the bisection
+    # this replaces gained one bit per tap)
+    lo = jnp.maximum(tm - jnp.maximum(prev_step, 2.0 * m_cell), 0.0)
+    hi = tm + 0.5 * m_cell
+
+    def newton_mid(_, carry):
+        t, d_prev = carry
+        dv, g = packed_trilinear_tap(pg.mid_rows, pg.aabb,
+                                     om + dm * t[:, None], want_grad=True)
+        slope = jnp.sum(g * dm, -1)
+        slope = jnp.where(jnp.abs(slope) < 0.1,
+                          jnp.where(slope < 0, -0.1, 0.1), slope)
+        t_new = jnp.clip(t - dv / slope, lo, hi)
+        return t_new, dv
+
+    tm, d_end = jax.lax.fori_loop(0, n_newton, newton_mid,
+                                  (tm, jnp.zeros((m,), rays_o.dtype)))
+    hit_m = done & (d_end < 2.0 * hit_eps_m) & (tm <= txm)
+
+    # full-res polish: identical scheme to sphere_trace_packed
+    def _newton_full(t, dv, g):
+        slope = jnp.sum(g * dm, -1)
+        slope = jnp.where(jnp.abs(slope) < 0.1, jnp.sign(slope) * 0.1
+                          + jnp.where(slope == 0, 0.1, 0.0), slope)
+        return jnp.clip(t - dv / slope, tm - 2.0 * m_cell,
+                        tm + 2.0 * m_cell)
+
+    def polish(_, t):
+        dv, g = block_tap(pg, om + dm * t[:, None], want_grad=True)
+        return _newton_full(t, dv, g)
+
+    t_p = jax.lax.fori_loop(0, max(n_polish - 1, 0), polish, tm)
+    dv, g = block_tap(pg, om + dm * t_p[:, None], want_grad=True)
+    t_ref = _newton_full(t_p, dv, g)
+
+    inters_m = om + dm * jnp.where(hit_m, t_ref, 0.0)[:, None]
+    normals_m = g / jnp.maximum(
+        jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    flip = jnp.sum(normals_m * dm, -1, keepdims=True) >= 0
+    normals_m = jnp.where(flip, -normals_m, normals_m)
+
+    # dense hit/depth: overflow beyond the budget falls back to miss
+    # (callers size m adaptively so overflow is rare)
+    mapped = dest < m
+    dc = jnp.minimum(dest, m - 1)
+    hit = cand & mapped & jnp.take(hit_m, dc, axis=0, mode='clip')
+    depth_m = jnp.where(hit_m, t_ref, MISS_DEPTH)
+    depth = jnp.where(hit, jnp.take(depth_m, dc, axis=0, mode='clip'),
+                      MISS_DEPTH)[:, None]
+    return CompactSecondary(src=src, slot_mask=slot_mask, dest=dest,
+                            inters=inters_m, normals=normals_m,
+                            view_out=-dm, hit_m=hit_m, hit=hit,
+                            depth=depth, cand=cand)

@@ -32,6 +32,16 @@ from . import checkpoints, losses
 from .trainer import lr_factor_fn
 
 
+# adaptive secondary-trace budget: the budgeted trace refines only the
+# coarse-phase candidates (sphere_trace_budget); the trainer re-buckets
+# the slot budget to the measured candidate rate so compaction cost
+# tracks the scene's actual self-occlusion (stage-1 sample-budget
+# analogue, trainer.py BUDGET_BUCKETS)
+SEC_BUDGET_BUCKETS = (0.125, 0.1875, 0.25, 0.375, 0.5, 0.75)
+SEC_BUDGET_MARGIN = 1.3
+SEC_BUDGET_INTERVAL = 500
+
+
 def mat_param_group_label(path_str: str) -> str:
     """xyz = all VM grids (material + flow fields); env = envlight cubemap;
     net = MLPs (ref: fields.py:1580-1595 get_optparam_groups)."""
@@ -104,6 +114,17 @@ class MaterialTrainer:
         self.start_step = 0
         self.best_para = 0.0
         self._compiled = {}
+
+        if self.mesh is not None:
+            # hit batch sharded over 'data'; params, optimizer state, the
+            # baked trace grid and the frozen stage-1 weights replicated
+            # (mirrors ShapeTrainer — grads all-reduce inside the jit)
+            self.params = sharding.replicate_tree(self.mesh, self.params)
+            self.opt_state = sharding.replicate_tree(self.mesh,
+                                                     self.opt_state)
+            self.grid = sharding.replicate_tree(self.mesh, self.grid)
+            self.geo_params = sharding.replicate_tree(self.mesh,
+                                                      self.geo_params)
 
     # ------------------------------------------------------------------
     def init_dataset(self, max_train_rays: Optional[int] = None):
@@ -222,6 +243,11 @@ class MaterialTrainer:
                 total, terms = losses.total_loss_material(outputs, weights)
                 aux = {'psnr': outputs['psnr'],
                        'variance': outputs['variance'], **terms}
+                if 'secondary_cand_rate' in outputs:
+                    aux['secondary_cand_rate'] = \
+                        outputs['secondary_cand_rate']
+                    aux['secondary_hit_rate'] = \
+                        outputs['secondary_hit_rate']
                 return total, aux
 
             (total, aux), grads = jax.value_and_grad(
@@ -231,7 +257,14 @@ class MaterialTrainer:
             aux['loss'] = total
             return params, opt_state, aux
 
-        jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+        if self.mesh is not None:
+            jitted = jax.jit(
+                step_fn, donate_argnums=(0, 1),
+                out_shardings=(sharding.replicated(self.mesh),
+                               sharding.replicated(self.mesh),
+                               sharding.replicated(self.mesh)))
+        else:
+            jitted = jax.jit(step_fn, donate_argnums=(0, 1))
         self._compiled[key] = jitted
         return jitted
 
@@ -248,6 +281,8 @@ class MaterialTrainer:
             self.update_flow_copies(step)
             phase = self.phase(step)
             batch = self.batcher.next_batch()
+            if self.mesh is not None:
+                batch = sharding.shard_batch(self.mesh, batch)
             weights = losses.schedule_weights(self.cfg, step)
             fn = self._get_step_fn(phase)
             self.rng, k = jax.random.split(self.rng)
@@ -258,6 +293,10 @@ class MaterialTrainer:
             self.params, self.opt_state, aux = fn(
                 self.params, self.opt_state, self.grid, batch, step,
                 weights, k, fc_d, fc_s)
+            if ((step + 1) % SEC_BUDGET_INTERVAL == 0
+                    and 'secondary_cand_rate' in aux):
+                self._adapt_secondary_budget(
+                    float(aux['secondary_cand_rate']))
             if (step + 1) % log_every == 0 or step == self.start_step:
                 host = {k_: float(v) for k_, v in aux.items()
                         if np.ndim(v) == 0}
@@ -267,6 +306,20 @@ class MaterialTrainer:
                     callback(host)
         self.start_step = end_step
         return logs
+
+    # ------------------------------------------------------------------
+    def _adapt_secondary_budget(self, cand_rate: float):
+        """Re-bucket the secondary-trace refinement budget to the live
+        candidate rate (one recompile per bucket change)."""
+        scfg = self.rcfg.shader
+        if not (0.0 < scfg.secondary_budget < 1.0):
+            return
+        want = next((b for b in SEC_BUDGET_BUCKETS
+                     if b >= cand_rate * SEC_BUDGET_MARGIN),
+                    SEC_BUDGET_BUCKETS[-1])
+        if want != scfg.secondary_budget:
+            self.rcfg = self.rcfg._replace(
+                shader=scfg._replace(secondary_budget=want))
 
     # ------------------------------------------------------------------
     def save(self, path: str):
@@ -319,6 +372,13 @@ class MaterialTrainer:
                                  if "'flow" in jax.tree_util.keystr(path)
                                  and jnp.ndim(x) > 0 else x),
                 self.opt_state)
+        if self.mesh is not None:
+            self.params = sharding.replicate_tree(self.mesh, self.params)
+            self.opt_state = sharding.replicate_tree(self.mesh,
+                                                     self.opt_state)
+            if self.flow_copies:
+                self.flow_copies = sharding.replicate_tree(
+                    self.mesh, self.flow_copies)
         self._compiled = {}
 
     # ------------------------------------------------------------------

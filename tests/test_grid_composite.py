@@ -234,6 +234,109 @@ def test_packed_trace_hits_offset_sphere():
     np.testing.assert_allclose(r, 0.15, atol=0.012)  # ~hit_eps at 128^3
 
 
+def test_budgeted_trace_matches_packed_on_concave_scene():
+    """sphere_trace_budget (dense coarse certification + compacted
+    refine) == sphere_trace_packed on a self-occluding two-sphere scene,
+    queried exactly like stage-2 secondary rays: origins on one surface,
+    outward-hemisphere directions, some re-hitting the other lobe."""
+    xs = np.linspace(-1, 1, 128, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    d1 = np.sqrt((xx + 0.35) ** 2 + yy ** 2 + zz ** 2) - 0.3
+    d2 = np.sqrt((xx - 0.35) ** 2 + yy ** 2 + zz ** 2) - 0.3
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(np.minimum(d1, d2)),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    pg = sdf_trace.pack_sdf_grid(grid)
+
+    rng = np.random.RandomState(11)
+    c1 = np.array([-0.35, 0.0, 0.0], np.float32)
+    n = rng.randn(4096, 3).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)       # surface normals
+    o = c1 + 0.3 * n                                     # on sphere 1
+    d = rng.randn(4096, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.sum(d * n, -1) < 0
+    d[out] -= 2 * np.sum(d[out] * n[out], -1, keepdims=True) * n[out]
+    # launch offsets as get_lights applies them: along the ray (reference
+    # semantics) + 1.5 mid-cells along the normal (SDF-grid robustness)
+    m_cell = 2.0 / (64 - 1)
+    o = (o + d * 2.0 * (2.0 / 127.0) + 1.5 * m_cell * n).astype(np.float32)
+    h0 = np.sum(d * n, -1).astype(np.float32)
+
+    i_p, n_p, t_p, h_p = sdf_trace.sphere_trace(pg, jnp.asarray(o),
+                                                jnp.asarray(d))
+    res = sdf_trace.sphere_trace_budget(pg, jnp.asarray(o),
+                                        jnp.asarray(d), m=2048,
+                                        h0=jnp.asarray(h0))
+    h_p = np.asarray(h_p)
+    h_b = np.asarray(res.hit)
+    assert 0.02 < h_p.mean() < 0.5, h_p.mean()  # scene self-occludes
+    # budget not overflowed and hit decisions agree except at tangency
+    assert np.asarray(res.slot_mask).sum() < 2048
+    assert (h_b != h_p).mean() < 0.02, (h_b != h_p).mean()
+    both = h_b & h_p
+    assert both.sum() > 100
+    # depths agree; compacted hit geometry matches the dense-path hits
+    dt = np.abs(np.asarray(res.depth)[both, 0] - np.asarray(t_p)[both, 0])
+    assert np.quantile(dt, 0.97) < 0.02, np.quantile(dt, 0.97)
+    dest = np.asarray(res.dest)[both]
+    ib = np.asarray(res.inters)[dest]
+    nb = np.asarray(res.normals)[dest]
+    err = np.linalg.norm(ib - np.asarray(i_p)[both], axis=-1)
+    assert np.quantile(err, 0.97) < 0.02, np.quantile(err, 0.97)
+    cos = np.sum(nb * np.asarray(n_p)[both], -1)
+    assert (cos > 0.99).mean() > 0.97, cos.min()
+    # certified misses really are misses: no ray the packed trace hits
+    # got classified away by the coarse phase (conservativeness)
+    assert (h_p & ~np.asarray(res.dest < 2048)).mean() < 0.005
+
+
+def test_budgeted_trace_get_lights_consistency():
+    """get_lights on the budgeted path == the dense full-fidelity path
+    (same params): lights agree on agreeing-visibility rays."""
+    import jax
+    from tensoflow_tpu.fields import mc_shading
+
+    xs = np.linspace(-1, 1, 96, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    d1 = np.sqrt((xx + 0.35) ** 2 + yy ** 2 + zz ** 2) - 0.3
+    d2 = np.sqrt((xx - 0.35) ** 2 + yy ** 2 + zz ** 2) - 0.3
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(np.minimum(d1, d2)),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    pg = sdf_trace.pack_sdf_grid(grid)
+
+    cfg_b = mc_shading.MCShadingConfig(
+        light_reso=16, grid_size=(16, 16, 16), secondary_budget=0.5)
+    cfg_d = cfg_b._replace(secondary_budget=0.0, inner_light_budget=0.0)
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg_b)
+
+    rng = np.random.RandomState(5)
+    c1 = np.array([-0.35, 0.0, 0.0], np.float32)
+    nrm = rng.randn(64, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    pts0 = c1 + 0.3 * nrm                                # [64,3] on S1
+    pts = jnp.asarray(np.broadcast_to(pts0[:, None, :], (64, 16, 3)))
+    dirs = rng.randn(64, 16, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    outward = np.sum(dirs * nrm[:, None, :], -1, keepdims=True)
+    dirs = np.where(outward < 0, dirs - 2 * outward * nrm[:, None, :],
+                    dirs)
+    dirs = jnp.asarray(dirs)
+    nrm = jnp.asarray(nrm)
+
+    unit = 2.0 / 95.0
+    lb, hb = mc_shading.get_lights(params, cfg_b, pg, unit, pts, dirs,
+                                   normals=nrm)
+    ld, hd = mc_shading.get_lights(params, cfg_d, pg, unit, pts, dirs,
+                                   normals=nrm)
+    hb, hd = np.asarray(hb), np.asarray(hd)
+    assert (hb != hd).mean() < 0.03
+    agree = hb == hd
+    # tiny residual: both paths Newton-polish hit positions, landing a
+    # sub-cell apart on grazing hits -> slightly different MLP inputs
+    np.testing.assert_allclose(np.asarray(lb)[agree], np.asarray(ld)[agree],
+                               rtol=5e-2, atol=5e-3)
+
+
 def test_block_march_matches_plain_query():
     """The 4^3-block bitmask march == per-step query_binary for every
     step-size regime (G=4 / G=2 / G=1 fallback)."""

@@ -117,10 +117,11 @@ def test_outer_light_variants_forward(setup, olv, human):
 
 
 def test_one_field_pack_per_step():
-    """Each VM field pytree (material + live/frozen flows) packs its
-    gather atlas exactly ONCE inside a traced stage-2 shade step
-    (round-2 verdict W3: per-call packing at 512^3 would rebuild
-    multi-hundred-MB atlases)."""
+    """No VM field pytree (material or live/frozen flow) packs a gather
+    atlas inside a traced stage-2 shade step: small-point-count evals
+    sample raw planes directly (round-4; supersedes round-2 verdict W3's
+    one-pack-per-field — per-call packing at 512^3 would rebuild
+    multi-hundred-MB atlases, and even one pack per step is ~12ms)."""
     from tensoflow_tpu.ops import tensor_field as tfield
 
     cfg = mc_shading.MCShadingConfig(
@@ -163,7 +164,8 @@ def test_one_field_pack_per_step():
                 flow_specular_copy=fz['flow_specular']))(params, frozen)
     finally:
         tfield.pack_vm_field = orig
-    # 5 distinct field pytrees: mat + live diffuse/specular flows +
-    # frozen diffuse/specular copies -> exactly 5 packs, no repeats
-    assert len(counts) == 5, counts
-    assert len(set(counts)) == 5, counts
+    # round-4: stage-2 field evals (~2k pts/step, always level 0) sample
+    # the raw planes directly — NO atlas packs inside the step at all
+    # (packing cost ~12ms/field/step served a few thousand gathers;
+    # round-2's one-pack-per-field invariant is superseded)
+    assert len(counts) == 0, counts
