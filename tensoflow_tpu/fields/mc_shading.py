@@ -264,6 +264,20 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
         hl, hw = get_human_light(params, o, d, hp)
         outer = outer * (1.0 - hw) + hl * hw
 
+    if callable(grid):
+        # exact tracer hook (parity fixtures / analytic tests): the
+        # callable owns ALL origin offsets, exactly like the reference's
+        # ray_trace_fun lambda (fields.py:956, materialRenderer.py:223)
+        inters, t_normals, depth, hit = grid(jax.lax.stop_gradient(o),
+                                             jax.lax.stop_gradient(d))
+        inters, t_normals, depth = jax.lax.stop_gradient(
+            (inters, t_normals, depth))
+        inner = get_inner_lights(params, cfg, inters, -d, t_normals)
+        lights = jnp.where(hit[:, None], inner, outer)
+        near_mask = (depth > eps).astype(lights.dtype)
+        lights = lights * near_mask
+        return lights.reshape(*shape, 3), hit.reshape(shape)
+
     o_trace = o + 2.0 * unit_size * d
     h0 = None
     if normals is not None:

@@ -1,0 +1,154 @@
+"""RENDERER-level parity against the reference (torch CPU) — fixtures from
+scripts/gen_ref_renderer_fixtures.py pin the full MCShadingNetwork.forward
+(ref: network/fields.py:1453): tensorial material field, predictors, the
+mixed MC estimator with deterministic Fibonacci directions, exact-occluder
+visibility, inner/outer light MLPs — outputs AND gradients (the BASELINE
+"allclose images & pixel gradients" row at renderer level)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensoflow_tpu.fields import mc_shading
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures',
+                   'ref_renderer.npz')
+
+
+@pytest.fixture(scope='module')
+def fx():
+    return dict(np.load(FIX))
+
+
+def _linear_from_torch(z, prefix, idx):
+    """torch weight_norm Linear -> our {'v','g','b'} (dim-0 weight norm:
+    ours stores v [in,out], g [out])."""
+    v = z[f'{prefix}__{idx}_parametrizations_weight_original1']  # [out,in]
+    g = z[f'{prefix}__{idx}_parametrizations_weight_original0']  # [out,1]
+    b = z[f'{prefix}__{idx}_bias']
+    return {'v': jnp.asarray(v.T), 'g': jnp.asarray(g[:, 0]),
+            'b': jnp.asarray(b)}
+
+
+def _predictor_from_torch(z, prefix, n_layers):
+    idxs = [2 * i for i in range(n_layers)]
+    return {'layers': [_linear_from_torch(z, prefix, i) for i in idxs]}
+
+
+def build_params_and_cfg(z):
+    cfg = mc_shading.MCShadingConfig(
+        diffuse_sample_num=16, specular_sample_num=8,
+        outer_light_version='direction',
+        use_nis_all=False, use_nis_diffuse=False, use_nis_specular=False,
+        random_azimuth=False,
+        grid_size=(32, 32, 32), inner_light_budget=0.0,
+        secondary_budget=0.0)
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg)
+    # reference plane [1,C,g0,g1] sampled with u=xyz[m0] along axis 3 and
+    # v=xyz[m1] along axis 2 (dr.texture u->W); ours is [g_m0, g_m1, C]
+    # with xyz[m0] on axis 0 -> transpose (2,1,0)
+    params['mat_field'] = {
+        'planes': [jnp.asarray(np.transpose(z[f'w_plane{i}'][0], (2, 1, 0)))
+                   for i in range(3)],
+        'lines': [jnp.asarray(z[f'w_line{i}'][0, :, :, 0].T)
+                  for i in range(3)],
+    }
+    params['metallic'] = _predictor_from_torch(z, 'w_metallic', 2)
+    params['roughness'] = _predictor_from_torch(z, 'w_roughness', 2)
+    params['albedo'] = _predictor_from_torch(z, 'w_albedo', 2)
+    params['outer_light'] = _predictor_from_torch(z, 'w_outer', 4)
+    params['inner_light'] = _predictor_from_torch(z, 'w_inner', 4)
+    return params, cfg
+
+
+def make_trace_fn(z):
+    center = jnp.asarray(z['occ_center'], jnp.float32)
+    radius = float(z['occ_radius'])
+
+    def trace(o, d):
+        oc = o - center
+        b = jnp.sum(oc * d, -1)
+        c = jnp.sum(oc * oc, -1) - radius ** 2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        hit = hit & (t > 0)
+        t = jnp.where(hit, t, 10.0)
+        inters = o + d * t[:, None] * hit[:, None].astype(o.dtype)
+        n = inters - center
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-8)
+        flip = jnp.sum(n * d, -1, keepdims=True) >= 0
+        n = jnp.where(flip, -n, n)
+        return inters, n, t[:, None], hit
+    return trace
+
+
+def _forward(params, cfg, trace, pts, view, nrm):
+    aabb = jnp.asarray([[-1.0] * 3, [1.0] * 3])
+    return mc_shading.mc_forward(
+        params, cfg, trace, 2.0 / 511.0, aabb, pts, view, nrm,
+        mc_shading.ShadePhase(), jax.random.PRNGKey(0), False)
+
+
+def test_material_feature_matches_reference(fx):
+    params, cfg = build_params_and_cfg(fx)
+    aabb = jnp.asarray([[-1.0] * 3, [1.0] * 3])
+    feats = mc_shading.tenso_feature(params, cfg, jnp.asarray(fx['pts']),
+                                     aabb)
+    np.testing.assert_allclose(np.asarray(feats), fx['mat_feats'],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_shade_outputs_match_reference(fx):
+    params, cfg = build_params_and_cfg(fx)
+    out = _forward(params, cfg, make_trace_fn(fx),
+                   jnp.asarray(fx['pts']), jnp.asarray(fx['view']),
+                   jnp.asarray(fx['nrm']))
+    np.testing.assert_allclose(np.asarray(out['rgb_pr']), fx['rgb_pr'],
+                               rtol=2e-4, atol=2e-5)
+    for k in ('albedo', 'metallic', 'roughness', 'diffuse_color',
+              'specular_color', 'diffuse_light', 'specular_light',
+              'visibility', 'indirect_light', 'approximate_light'):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), fx[f'out_{k}'], rtol=2e-4, atol=2e-5,
+            err_msg=k)
+
+
+def test_full_shade_gradients_match_reference(fx):
+    """Pixel gradients (d loss / d pts) and parameter gradients of the
+    full shade match torch autograd through the reference."""
+    params, cfg = build_params_and_cfg(fx)
+    trace = make_trace_fn(fx)
+    view = jnp.asarray(fx['view'])
+    nrm = jnp.asarray(fx['nrm'])
+
+    def loss_pts(pts):
+        out = _forward(params, cfg, trace, pts, view, nrm)
+        return jnp.sum(out['rgb_pr']) + jnp.sum(out['diffuse_color'])
+
+    g_pts = jax.grad(loss_pts)(jnp.asarray(fx['pts']))
+    np.testing.assert_allclose(np.asarray(g_pts), fx['g_pts'],
+                               rtol=2e-3, atol=2e-5)
+
+    def loss_params(p):
+        out = _forward(p, cfg, trace, jnp.asarray(fx['pts']), view, nrm)
+        return jnp.sum(out['rgb_pr']) + jnp.sum(out['diffuse_color'])
+
+    g = jax.grad(loss_params)(params)
+    np.testing.assert_allclose(
+        np.asarray(g['mat_field']['planes'][0]),
+        np.transpose(fx['g_mat_plane0'][0], (2, 1, 0)),
+        rtol=2e-3, atol=1e-6)
+    # albedo head: both weight-norm leaves + biases
+    for idx in (0, 2):
+        got = np.asarray(g['albedo']['layers'][idx // 2]['v'])
+        want = fx[f'g_albedo__{idx}_parametrizations_weight_original1'].T
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6,
+                                   err_msg=f'albedo v{idx}')
+        got_b = np.asarray(g['albedo']['layers'][idx // 2]['b'])
+        np.testing.assert_allclose(got_b, fx[f'g_albedo__{idx}_bias'],
+                                   rtol=2e-3, atol=1e-6,
+                                   err_msg=f'albedo b{idx}')
