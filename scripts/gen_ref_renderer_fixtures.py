@@ -48,15 +48,14 @@ def _stub(name, **attrs):
 
 
 # ---------------------------------------------------------------------------
-# CPU dr.texture clone: mip_level_bias==0 path (bilinear, boundary clamp)
+# CPU dr.texture clone: clamped bilinear + linear-mipmap-linear (box-filter
+# pyramid, per-sample fractional mip_level_bias — the adjacent-level lerp
+# equals triangle weights over levels, which is also what
+# tensoflow_tpu.ops.tensor_field.sample_mip_2d implements)
 # ---------------------------------------------------------------------------
 
-def dr_texture(tex, uv, mip_level_bias=None, boundary_mode='clamp',
-               max_mip_level=None, filter_mode='auto'):
-    assert boundary_mode == 'clamp'
-    if mip_level_bias is not None:
-        assert float(mip_level_bias.abs().max()) == 0.0, 'level-0 only'
-    n, h, w, c = tex.shape
+def _bilinear_hw(tex, uv):
+    h, w, c = tex.shape
     u = uv[..., 0].reshape(-1) * w - 0.5     # u indexes WIDTH
     v = uv[..., 1].reshape(-1) * h - 0.5     # v indexes HEIGHT
     u0 = torch.floor(u)
@@ -72,8 +71,29 @@ def dr_texture(tex, uv, mip_level_bias=None, boundary_mode='clamp',
     t01 = flat[v0i * w + u1i]
     t10 = flat[v1i * w + u0i]
     t11 = flat[v1i * w + u1i]
-    out = ((1 - fv) * ((1 - fu) * t00 + fu * t01)
-           + fv * ((1 - fu) * t10 + fu * t11))
+    return ((1 - fv) * ((1 - fu) * t00 + fu * t01)
+            + fv * ((1 - fu) * t10 + fu * t11))
+
+
+def dr_texture(tex, uv, mip_level_bias=None, boundary_mode='clamp',
+               max_mip_level=None, filter_mode='auto'):
+    assert boundary_mode == 'clamp'
+    n, h, w, c = tex.shape
+    if mip_level_bias is None or not max_mip_level:
+        out = _bilinear_hw(tex[0], uv)
+        return out.reshape(*uv.shape[:-1], c)
+    pyr = [tex[0]]
+    while len(pyr) <= max_mip_level:
+        t = pyr[-1]
+        hh, ww = t.shape[0], t.shape[1]
+        t = t.reshape(max(hh // 2, 1), min(2, hh),
+                      max(ww // 2, 1), min(2, ww), c).mean(dim=(1, 3))
+        pyr.append(t)
+    lv = mip_level_bias.reshape(-1).clamp(0.0, float(max_mip_level))
+    out = 0.0
+    for li, ltex in enumerate(pyr):
+        wgt = (1.0 - (lv - li).abs()).clamp(min=0.0).unsqueeze(-1)
+        out = out + wgt * _bilinear_hw(ltex, uv)
     return out.reshape(*uv.shape[:-1], c)
 
 
@@ -109,6 +129,19 @@ def _tto(self, *a, **k):
 
 
 torch.Tensor.to = _tto
+
+
+def _cpu_factory(fn):
+    def g(*a, **k):
+        if 'cuda' in str(k.get('device', '')):
+            k['device'] = 'cpu'
+        return fn(*a, **k)
+    return g
+
+
+for _name in ('arange', 'zeros', 'ones', 'empty', 'full', 'rand', 'randn',
+              'randperm', 'tensor', 'linspace'):
+    setattr(torch, _name, _cpu_factory(getattr(torch, _name)))
 
 _stub('nvdiffrast')
 _stub('nvdiffrast.torch', texture=dr_texture)
