@@ -169,7 +169,8 @@ def run():
         res = sdf_trace.sphere_trace_budget(
             grid, o, d, m=int(rays * sn * scfg.secondary_budget), h0=h0)
         return (jnp.mean(res.cand.astype(jnp.float32)),
-                jnp.mean(res.hit.astype(jnp.float32)))
+                jnp.sum((res.hit_m & res.slot_mask).astype(jnp.float32))
+                / res.dest.shape[0])
 
     cand_rate, hit_rate = rates(grid, batch, jax.random.PRNGKey(7))
 

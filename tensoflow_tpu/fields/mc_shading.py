@@ -308,17 +308,25 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
             # here — fetched with the regular log/adapt cadence)
             stats['secondary_cand_rate'] = jnp.mean(
                 res.cand.astype(jnp.float32))
-            stats['secondary_hit_rate'] = jnp.mean(
-                res.hit.astype(jnp.float32))
+            stats['secondary_hit_rate'] = jnp.sum(
+                (res.hit_m & res.slot_mask).astype(jnp.float32)) / n_rays
         inner_m = get_inner_lights(params, cfg, res.inters, res.view_out,
                                    res.normals)
         from ..ops.grid import scatter_back
-        inner = scatter_back(inner_m, res.dest, src=res.src,
-                             slot_mask=res.slot_mask)
-        lights = jnp.where(res.hit[:, None], inner, outer)
-        near_mask = (res.depth > eps).astype(lights.dtype)
+        # ONE wide expansion for lights + depth + hit: a scalar column
+        # expanded on its own is a 1-element-per-row gather that runs
+        # ~10x above the wide-gather rate (see CompactSecondary)
+        payload_m = jnp.concatenate(
+            [inner_m, res.depth_m[:, None],
+             res.hit_m[:, None].astype(inner_m.dtype)], -1)
+        full = scatter_back(payload_m, res.dest, src=res.src,
+                            slot_mask=res.slot_mask)
+        hit = full[:, 4] > 0.5                  # overflow/miss -> fill 0
+        depth = jnp.where(hit, full[:, 3], sdf_trace.MISS_DEPTH)[:, None]
+        lights = jnp.where(hit[:, None], full[:, 0:3], outer)
+        near_mask = (depth > eps).astype(lights.dtype)
         lights = lights * near_mask
-        return lights.reshape(*shape, 3), res.hit.reshape(shape)
+        return lights.reshape(*shape, 3), hit.reshape(shape)
 
     # dense fallback: trace every ray at full fidelity
     # trace origin offset (ref: materialRenderer.py:223 lambda)

@@ -472,6 +472,12 @@ def sphere_trace_packed(pg: PackedSDFGrid, rays_o, rays_d,
 
 
 class CompactSecondary(NamedTuple):
+    """ALL refined quantities stay compacted ([M] slots): expanding a
+    scalar column densely costs a [N]-row 1-element-per-row gather that
+    runs ~10x above the multi-channel gather rate (58ms for f32[1.57M]
+    from [590k] in the round-4 trace) — callers must ride hit/depth on
+    ONE wide scatter_back together with whatever per-slot payload they
+    compute (see mc_shading.get_lights)."""
     src: jnp.ndarray        # [M] flat source ray per slot
     slot_mask: jnp.ndarray  # [M] slot holds a real candidate
     dest: jnp.ndarray       # [N] slot per ray (M = dropped/miss)
@@ -479,8 +485,7 @@ class CompactSecondary(NamedTuple):
     normals: jnp.ndarray    # [M,3] refined hit normals (flipped)
     view_out: jnp.ndarray   # [M,3] -d of the compacted rays
     hit_m: jnp.ndarray      # [M] refined hit verdict per slot
-    hit: jnp.ndarray        # [N] dense hit mask (budget overflow = miss)
-    depth: jnp.ndarray      # [N,1] dense depth (miss = MISS_DEPTH)
+    depth_m: jnp.ndarray    # [M] refined depth (miss = MISS_DEPTH)
     cand: jnp.ndarray       # [N] refinement-candidate mask (diagnostics /
     #                         adaptive budget sizing)
 
@@ -638,15 +643,8 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
     flip = jnp.sum(normals_m * dm, -1, keepdims=True) >= 0
     normals_m = jnp.where(flip, -normals_m, normals_m)
 
-    # dense hit/depth: overflow beyond the budget falls back to miss
-    # (callers size m adaptively so overflow is rare)
-    mapped = dest < m
-    dc = jnp.minimum(dest, m - 1)
-    hit = cand & mapped & jnp.take(hit_m, dc, axis=0, mode='clip')
     depth_m = jnp.where(hit_m, t_ref, MISS_DEPTH)
-    depth = jnp.where(hit, jnp.take(depth_m, dc, axis=0, mode='clip'),
-                      MISS_DEPTH)[:, None]
     return CompactSecondary(src=src, slot_mask=slot_mask, dest=dest,
                             inters=inters_m, normals=normals_m,
-                            view_out=-dm, hit_m=hit_m, hit=hit,
-                            depth=depth, cand=cand)
+                            view_out=-dm, hit_m=hit_m, depth_m=depth_m,
+                            cand=cand)
