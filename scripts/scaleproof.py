@@ -12,9 +12,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_phase(reso, n_levels):
+def run_phase(reso, n_levels, trace=False):
     import jax
     import jax.numpy as jnp
     from tensoflow_tpu import config as config_mod
@@ -102,15 +103,42 @@ def run_phase(reso, n_levels):
           f'step={step_ms:.2f}ms rays_s={rays / best:.0f} loss={v:.4f}',
           flush=True)
 
+    if trace:
+        outdir = f'/tmp/scaleproof_trace_{reso}'
+        import shutil
+        shutil.rmtree(outdir, ignore_errors=True)
+        with jax.profiler.trace(outdir):
+            for i in range(2):
+                params, opt_state, total = jitted(
+                    params, opt_state, occ_state, batch, 40000 + i,
+                    weights, jax.random.PRNGKey(i))
+            float(total)
+        import glob
+        import xplane_bin
+        pbs = glob.glob(os.path.join(outdir,
+                                     'plugins/profile/*/*.xplane.pb'))
+        planes = xplane_bin.parse(pbs[0])
+        _, meta, lines2 = planes[0]
+        wins = xplane_bin.step_windows(lines2, meta)
+        mid = wins[-1]
+        rows, busy_ms, gb = xplane_bin.busy_breakdown(lines2, meta, mid, 30)
+        print(f'[trace {reso}^3] step {(mid[1]-mid[0])/1e9:.2f} ms, '
+              f'{gb:.1f} GB boundary bytes')
+        for ms, c, nm in rows:
+            print(f'  {ms:9.3f} ms  x{c:<4d} {nm[:140]}', flush=True)
+
 
 def main():
     import jax
     jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache_tpu')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    resos = [int(x) for x in sys.argv[1:]] or [128, 256, 512]
+    args = sys.argv[1:]
+    trace = '--trace' in args
+    args = [a for a in args if a != '--trace']
+    resos = [int(x) for x in args] or [128, 256, 512]
     levels = {128: 1, 256: 2, 512: 3}
     for r in resos:
-        run_phase(r, levels.get(r, 1))
+        run_phase(r, levels.get(r, 1), trace)
 
 
 if __name__ == '__main__':

@@ -74,3 +74,64 @@ def test_qvec_rotmat_roundtrip():
         R = cm.qvec2rotmat(q)
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
         np.testing.assert_allclose(cm.rotmat2qvec(R), q, atol=1e-8)
+
+
+def test_dense_array_roundtrip(tmp_path):
+    """COLMAP Mat<float> depth/normal maps (ref: read_write_dense.py):
+    W&H&C& header + column-major float32."""
+    from tensoflow_tpu.data import colmap_dense as cd
+    rng = np.random.RandomState(0)
+    depth = rng.rand(13, 7).astype(np.float32)
+    p = str(tmp_path / 'depth.bin')
+    cd.write_array(depth, p)
+    np.testing.assert_array_equal(cd.read_array(p), depth)
+    normal = rng.rand(5, 9, 3).astype(np.float32)
+    p2 = str(tmp_path / 'normal.bin')
+    cd.write_array(normal, p2)
+    np.testing.assert_array_equal(cd.read_array(p2), normal)
+
+
+def test_fused_vis_roundtrip(tmp_path):
+    """fused.ply + fused.ply.vis round-trip (ref: read_write_fused_vis.py
+    / src/mvs/fusion.cc format)."""
+    from tensoflow_tpu.data import colmap_dense as cd
+    rng = np.random.RandomState(1)
+    pts = [cd.FusedPoint(
+        position=rng.randn(3).astype(np.float32),
+        color=rng.randint(0, 255, 3).astype(np.uint8),
+        normal=rng.randn(3).astype(np.float32),
+        visible_image_idxs=rng.randint(0, 40, rng.randint(1, 6)))
+        for _ in range(17)]
+    ply = str(tmp_path / 'fused.ply')
+    vis = str(tmp_path / 'fused.ply.vis')
+    cd.write_fused(pts, ply, vis)
+    back = cd.read_fused(ply, vis)
+    assert len(back) == 17
+    for a, b in zip(pts, back):
+        np.testing.assert_allclose(b.position, a.position, rtol=1e-6)
+        np.testing.assert_array_equal(b.color, a.color)
+        np.testing.assert_allclose(b.normal, a.normal, rtol=1e-6)
+        np.testing.assert_array_equal(b.visible_image_idxs,
+                                      a.visible_image_idxs)
+
+
+def test_generic_ply_points_ascii_and_binary(tmp_path):
+    from tensoflow_tpu.data import colmap_dense as cd
+    rng = np.random.RandomState(2)
+    props = {'x': rng.rand(8).astype(np.float32),
+             'y': rng.rand(8).astype(np.float32),
+             'z': rng.rand(8).astype(np.float32),
+             'red': rng.randint(0, 255, 8).astype(np.uint8)}
+    p = str(tmp_path / 'pc.ply')
+    cd.write_ply_points(p, props)
+    back = cd.read_ply_points(p)
+    for k in props:
+        np.testing.assert_array_equal(back[k], props[k])
+    # ascii variant
+    with open(tmp_path / 'pc_ascii.ply', 'w') as f:
+        f.write('ply\nformat ascii 1.0\nelement vertex 2\n'
+                'property float x\nproperty float y\nproperty float z\n'
+                'end_header\n0.5 1.0 2.0\n3.0 4.0 5.5\n')
+    back2 = cd.read_ply_points(str(tmp_path / 'pc_ascii.ply'))
+    np.testing.assert_allclose(back2['x'], [0.5, 3.0])
+    np.testing.assert_allclose(back2['z'], [2.0, 5.5])
