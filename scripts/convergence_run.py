@@ -95,6 +95,8 @@ def main():
         'sdf_n_comp': 16, 'sdf_dim': 128, 'app_dim': 64,
         'use_occ_grid': True, 'occ_grid_reso': 128,
         'occ_max_samples': 96,
+        # reference warmup ratio (10k of 100k) on the compressed schedule
+        'occ_warmup_steps': 400,
         # reference compressor_occ schedule, compressed 100k -> 3.6k steps
         # (N_voxel 128^3 -> 512^3 log-spaced at the same 20%/40% marks,
         # configs/shape/syn/compressor_occ.yaml:61-64)

@@ -86,6 +86,10 @@ TRAINER_DEFAULTS: Dict[str, Any] = {
     'use_occ_grid': False,
     'occ_grid_reso': 128,
     'occ_max_samples': 192,
+    # no-prune warmup window for the occupancy grid (the reference passes
+    # warmup_steps=10000 to nerfacc, shapeRenderer.py:1287): pruning
+    # against the untrained field locks sampling away from the object
+    'occ_warmup_steps': 10000,
     'compact_samples_per_ray': 64,
     'gather_dtype': 'float32',
     'stencil_impl': 'auto',

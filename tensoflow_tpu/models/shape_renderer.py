@@ -52,6 +52,11 @@ class ShapeRendererConfig(NamedTuple):
     occ_grid_reso: int = 128
     step_ratio: float = 0.5
     occ_max_samples: int = 192        # per-ray sampler budget
+    # candidate-step stride: >1 during the occ warmup window, where the
+    # binary grid is fully occupied and the per-ray budget must cover the
+    # WHOLE ray (uniform coarse steps) instead of a thin surface band —
+    # set by the trainer to ceil(n_candidates / occ_max_samples)
+    march_stride: int = 1
     # global sample compaction: field+shading run only on valid samples,
     # packed to rn * compact_samples_per_ray slots (0 = dense). The
     # occupancy sampler emits valid-prefix rows, so this is a pure
@@ -310,10 +315,12 @@ def render_rays(params, cfg: ShapeRendererConfig, mips, occ_state, ray_batch,
 
     k_sample, k_occ = jax.random.split(rng)
     if cfg.use_occ_grid:
-        ss = step_size(cfg)
+        stride = max(int(cfg.march_stride), 1)
+        ss = step_size(cfg) * stride
+        n_cand = -(-n_march_candidates(cfg) // stride)
         t_starts, t_ends, valid = grid_mod.occ_grid_sampling(
             occ_state, grid_mod.OccGridConfig(resolution=cfg.occ_grid_reso),
-            rays_o, dirs, near, far, ss, n_march_candidates(cfg),
+            rays_o, dirs, near, far, ss, n_cand,
             cfg.occ_max_samples, k_sample if is_train else None)
     else:
         t_starts, t_ends, valid = sample_ray_hierarchical(

@@ -57,12 +57,20 @@ def occ_grid_cell_centers(cfg: OccGridConfig):
 
 
 def update_occ_grid(state, cfg: OccGridConfig, alphas, step: int | jnp.ndarray,
-                    rng=None, sdf=None):
+                    rng=None, sdf=None, prune: bool = True):
     """EMA update from freshly evaluated cell alphas.
 
     alphas: [R^3] alpha at (jittered) cell centers. Mirrors
     nerfacc.update_every_n_steps semantics: occs <- max(occs*decay, alpha),
     binary <- occs > min(mean(occs), thresh).
+
+    prune=False (the trainer's warmup window, mirroring the reference's
+    warmup_steps=10000 at shapeRenderer.py:1287): accumulate the occs EMA
+    but keep the binary grid fully occupied.  Pruning against the
+    UNTRAINED field deadlocks training — the geometric init's zero set
+    sits near the aabb corners, so the first prune locks sampling away
+    from the object and the field can never learn where it is (round-4
+    A/B: occ-path psnr flat at ~8.7 vs NeuS 24 without this).
 
     sdf: optional [R^3] signed distances at UNJITTERED cell centers —
     re-baked into the packed trilinear lattice the occ-loss march reads
@@ -72,8 +80,11 @@ def update_occ_grid(state, cfg: OccGridConfig, alphas, step: int | jnp.ndarray,
     r = cfg.resolution
     occs = jnp.maximum(state['occs'] * cfg.ema_decay,
                        alphas.reshape(r, r, r))
-    thresh = jnp.minimum(jnp.mean(occs), cfg.occ_threshold)
-    binary = occs > thresh
+    if prune:
+        thresh = jnp.minimum(jnp.mean(occs), cfg.occ_threshold)
+        binary = occs > thresh
+    else:
+        binary = jnp.ones((r, r, r), jnp.bool_)
     new = {'occs': occs, 'binary': binary,
            'blocks': pack_occ_blocks(binary)}
     if sdf is not None:

@@ -259,8 +259,8 @@ class ShapeTrainer:
         self._compiled[phase_key] = jitted
         return jitted
 
-    def _get_occ_update_fn(self):
-        key = ('occ', self.rcfg)
+    def _get_occ_update_fn(self, prune: bool = True):
+        key = ('occ', self.rcfg, prune)
         if key in self._compiled:
             return self._compiled[key]
         rcfg = self.rcfg
@@ -277,10 +277,29 @@ class ShapeTrainer:
             # the occ-loss march reads it instead of the live field
             sdf = sr.compute_sdf_chunked(params, rcfg, centers)
             return grid_mod.update_occ_grid(occ_state, occ_cfg, alphas, step,
-                                            sdf=sdf)
+                                            sdf=sdf, prune=prune)
 
         self._compiled[key] = occ_update
         return occ_update
+
+    # ------------------------------------------------------------------
+    def occ_warmup_steps(self) -> int:
+        return int(self.cfg.get('occ_warmup_steps', 10000))
+
+    def maybe_set_march_stride(self, step: int):
+        """During the occ no-prune warmup the binary grid is fully
+        occupied, so the fixed per-ray budget must stride the candidate
+        lattice to cover the whole ray; afterwards the surface band is
+        thin and stride returns to 1 (one recompile per change)."""
+        if not self.rcfg.use_occ_grid:
+            return
+        if step < self.occ_warmup_steps():
+            want = max(-(-sr.n_march_candidates(self.rcfg)
+                         // self.rcfg.occ_max_samples), 1)
+        else:
+            want = 1
+        if want != self.rcfg.march_stride:
+            self.rcfg = self.rcfg._replace(march_stride=want)
 
     # ------------------------------------------------------------------
     # phases / schedules
@@ -348,9 +367,11 @@ class ShapeTrainer:
 
         logs = []
         for step in range(self.start_step, end_step):
+            self.maybe_set_march_stride(step)
             if self.rcfg.use_occ_grid and step % self.occ_update_interval == 0:
                 self.rng, k = jax.random.split(self.rng)
-                self.occ_state = self._get_occ_update_fn()(
+                self.occ_state = self._get_occ_update_fn(
+                    prune=step >= self.occ_warmup_steps())(
                     self.params, self.occ_state, step, k)
 
             batch = self.batcher.next_batch()

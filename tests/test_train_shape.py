@@ -57,6 +57,30 @@ def test_shape_training_occ_grid_path():
 
 
 @pytest.mark.slow
+def test_occ_grid_path_actually_converges():
+    """The occ sampler path must LEARN, not just run (round-4 regression:
+    pruning against the untrained field locked sampling away from the
+    object — psnr stayed ~8.7 while NeuS reached 24; the no-prune warmup
+    window + strided full-ray coverage fixes the bootstrap)."""
+    cfg = tiny_cfg(use_occ_grid=True, occ_grid_reso=32, occ_max_samples=32)
+    trainer = ShapeTrainer(cfg)
+    trainer.init_dataset()
+    assert trainer.rcfg.march_stride == 1  # set lazily at first step
+    logs = trainer.train(n_steps=150, log_every=50)
+    assert trainer.rcfg.march_stride > 1   # warmup stride active
+    assert logs[-1]['psnr'] > logs[0]['psnr'] + 4.0, logs
+    # post-warmup pruning still works end-to-end
+    cfg2 = tiny_cfg(use_occ_grid=True, occ_grid_reso=32,
+                    occ_max_samples=32, occ_warmup_steps=0)
+    t2 = ShapeTrainer(cfg2)
+    t2.init_dataset()
+    t2.train(n_steps=5, log_every=5)
+    assert t2.rcfg.march_stride == 1
+    occ = np.asarray(t2.occ_state['binary'])
+    assert occ.mean() < 1.0                # pruned immediately
+
+
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_cfg()
     trainer = ShapeTrainer(cfg)
