@@ -594,10 +594,19 @@ def pack_vm_patches(field: FieldParams, n_levels: int = 1,
         for tex in build_pyramid_2d(field['planes'][i], n_levels):
             h, w, c = tex.shape
             pad = jnp.pad(tex, ((2, 2), (2, 2), (0, 0)), mode='edge')
-            slots = [pad[du + 1:du + 2 + h, dv + 1:dv + 2 + w]
-                     for du in (-1, 0, 1, 2) for dv in (-1, 0, 1, 2)]
-            patch = jnp.concatenate(slots, axis=-1)
-            pparts.append(patch.reshape((h + 1) * (w + 1), 16 * c))
+            # ONE extract-patches op instead of 16 shifted-slice concats:
+            # the concat chain re-materialized ~16x the plane bytes
+            # through layout-hostile [513,513,576] intermediates (round-4
+            # 512^3 trace: the pack pipeline + its VJP was 107ms of a
+            # 221ms step); conv_general_dilated_patches lowers to one
+            # fused op with a conv-transpose VJP.  Features come out
+            # channel-major (c, slot) — transpose to the kernel's
+            # slot-major (slot, c) lane order.
+            patch = jax.lax.conv_general_dilated_patches(
+                pad[None], (4, 4), (1, 1), 'VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
+            patch = patch.reshape((h + 1) * (w + 1), c, 16)
+            pparts.append(jnp.swapaxes(patch, 1, 2).reshape(-1, 16 * c))
             offs.append(poff)
             shps.append((h, w))
             poff += (h + 1) * (w + 1)
