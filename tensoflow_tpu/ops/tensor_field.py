@@ -764,12 +764,17 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
                 else mw.astype(jnp.float32))
         fr_b = fracs + [wcol] + sig_lanes + sig_x
         assert len(fr_b) == 19
-        fr_b += [jnp.zeros((n,), jnp.float32)] * (FRAC_STRIDE - 19)
-        fr_cols += fr_b
+        # stack along axis 0 (contiguous [N] rows -> cheap concat) and
+        # transpose ONCE: stacking 64 columns on axis -1 lowered to 64
+        # tile-padded [N,1] copies (6.6ms/step in the round-4 512^3
+        # trace); the zero lanes are a pad, not materialized columns
+        blk = jnp.swapaxes(jnp.stack(fr_b, axis=0), 0, 1)     # [N, 19]
+        fr_cols.append(jnp.pad(blk, [(0, 0), (0, FRAC_STRIDE - 19)]))
         pp.append(pps)
         lp.append(lps)
         sigmas.append(tuple(sgs) if static else None)
-    fr = jnp.stack(fr_cols, axis=-1)
+    fr = jnp.concatenate(fr_cols, axis=-1) if len(fr_cols) > 1 \
+        else fr_cols[0]
     if fr.shape[-1] < 2 * FRAC_STRIDE:
         fr = jnp.pad(fr, [(0, 0), (0, 2 * FRAC_STRIDE - fr.shape[-1])])
     return pp, lp, fr, tuple(sigmas)
