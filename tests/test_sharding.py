@@ -76,10 +76,10 @@ def test_material_trainer_sharded_matches_single_device(tmp_path):
 
     shape_cfg = config_mod.load_config(extra={
         'name': 'test_shard_mat_geo',
-        'database_name': 'toy/sphere_32_4',
+        'database_name': 'toy/sphere_40_6',
         'dataset_dir': 'unused', 'nerfDataType': True,
-        'train_ray_num': 128,
-        'n_samples': 16, 'n_importance': 16, 'up_sample_steps': 4,
+        'train_ray_num': 256,
+        'n_samples': 24, 'n_importance': 24, 'up_sample_steps': 4,
         'sdf_n_comp': 8, 'sdf_dim': 64, 'app_dim': 32,
         'N_voxel_init': 32 ** 3, 'N_voxel_final': 32 ** 3,
         'apply_occ_loss': False, 'apply_mask_loss': True,
@@ -87,13 +87,13 @@ def test_material_trainer_sharded_matches_single_device(tmp_path):
     })
     geo = ShapeTrainer(shape_cfg)
     geo.init_dataset()
-    geo.train(n_steps=10, log_every=10)
+    geo.train(n_steps=40, log_every=20)
     geo_path = str(tmp_path / 'geo.pkl')
     geo.save(geo_path)
 
     mat_cfg = config_mod.load_config(extra={
         'name': 'test_shard_mat_trainer', 'isMaterial': True,
-        'database_name': 'toy/sphere_32_4',
+        'database_name': 'toy/sphere_40_6',
         'dataset_dir': 'unused', 'nerfDataType': True,
         'train_ray_num': 64, 'bake_resolution': 64,
         'refine_with_neural_sdf': False,
