@@ -579,13 +579,25 @@ class PatchAtlas:
         return cls(children[0], children[1], meta)
 
 
+# Plane-size threshold (texels) above which pack_vm_patches uses the
+# conv_general_dilated_patches path.  Small planes keep the 16
+# shifted-slice concats: the grouped conv + channel->slot transpose has a
+# fixed per-plane cost that dominated the 128^3 step (bench regression
+# 57 -> 89 ms, round 4), while at 512^2 the slice-concat chain's 16x
+# re-materialization was the 107ms-of-221ms offender.
+PACK_CONV_MIN_TEXELS = 256 * 256
+
+
 def pack_vm_patches(field: FieldParams, n_levels: int = 1,
-                    gather_dtype=None) -> PatchAtlas:
+                    gather_dtype=None, pack_impl: str = 'auto') -> PatchAtlas:
     """Build the patch atlas (differentiable; once per train step).
 
     Each plane row (a_u * (W+1) + a_v) stores the 16 edge-clamped texels
     (clip(a_u-1+du), clip(a_v-1+dv)), du,dv in [-1,2], slot-major
-    (du*4+dv); each line row stores the 4 texels clip(a-1+dx)."""
+    (du*4+dv); each line row stores the 4 texels clip(a-1+dx).
+
+    pack_impl: 'auto' (size-gated), 'conv', or 'slices' — both paths are
+    pinned equal by tests/test_packed_field.py."""
     pparts, lparts = [], []
     p_offs, p_shapes, l_offs, l_lens = [], [], [], []
     poff = loff = 0
@@ -594,19 +606,30 @@ def pack_vm_patches(field: FieldParams, n_levels: int = 1,
         for tex in build_pyramid_2d(field['planes'][i], n_levels):
             h, w, c = tex.shape
             pad = jnp.pad(tex, ((2, 2), (2, 2), (0, 0)), mode='edge')
-            # ONE extract-patches op instead of 16 shifted-slice concats:
-            # the concat chain re-materialized ~16x the plane bytes
-            # through layout-hostile [513,513,576] intermediates (round-4
-            # 512^3 trace: the pack pipeline + its VJP was 107ms of a
-            # 221ms step); conv_general_dilated_patches lowers to one
-            # fused op with a conv-transpose VJP.  Features come out
-            # channel-major (c, slot) — transpose to the kernel's
-            # slot-major (slot, c) lane order.
-            patch = jax.lax.conv_general_dilated_patches(
-                pad[None], (4, 4), (1, 1), 'VALID',
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
-            patch = patch.reshape((h + 1) * (w + 1), c, 16)
-            pparts.append(jnp.swapaxes(patch, 1, 2).reshape(-1, 16 * c))
+            use_conv = (pack_impl == 'conv'
+                        or (pack_impl == 'auto'
+                            and h * w >= PACK_CONV_MIN_TEXELS))
+            if use_conv:
+                # ONE extract-patches op instead of 16 shifted-slice
+                # concats: the concat chain re-materialized ~16x the
+                # plane bytes through layout-hostile [513,513,576]
+                # intermediates (round-4 512^3 trace: the pack pipeline
+                # plus its VJP was 107ms of a 221ms step);
+                # conv_general_dilated_patches lowers to one fused op
+                # with a conv-transpose VJP.  Features come out
+                # channel-major (c, slot) — transpose to the kernel's
+                # slot-major (slot, c) lane order.
+                patch = jax.lax.conv_general_dilated_patches(
+                    pad[None], (4, 4), (1, 1), 'VALID',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
+                patch = patch.reshape((h + 1) * (w + 1), c, 16)
+                patch = jnp.swapaxes(patch, 1, 2).reshape(-1, 16 * c)
+            else:
+                slots = [pad[du + 1:du + 2 + h, dv + 1:dv + 2 + w]
+                         for du in (-1, 0, 1, 2) for dv in (-1, 0, 1, 2)]
+                patch = jnp.concatenate(slots, axis=-1)
+                patch = patch.reshape((h + 1) * (w + 1), 16 * c)
+            pparts.append(patch)
             offs.append(poff)
             shps.append((h, w))
             poff += (h + 1) * (w + 1)

@@ -144,3 +144,34 @@ def test_sdf_with_grad_hessian_packed_matches_reference_path():
         np.sum(grad_ref ** 2, -1) + 1e-5)
     np.testing.assert_allclose(np.asarray(hess), nh_ref, atol=1e-2,
                                rtol=1e-2)
+
+
+@pytest.mark.parametrize('n_levels', [1, 2])
+def test_pack_vm_patches_conv_matches_slices(n_levels):
+    """Both patch-atlas pack implementations (size-gated in production:
+    slice-concats for small planes, conv_general_dilated_patches for
+    512^2-scale ones) must emit identical buffers and plane gradients."""
+    field = _mk_field(7, gs=(16, 12, 8), c=4)
+    a_conv = tf.pack_vm_patches(field, n_levels, pack_impl='conv')
+    a_sl = tf.pack_vm_patches(field, n_levels, pack_impl='slices')
+    np.testing.assert_allclose(np.asarray(a_conv.plane_buf),
+                               np.asarray(a_sl.plane_buf),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_conv.line_buf),
+                               np.asarray(a_sl.line_buf),
+                               atol=1e-6, rtol=1e-6)
+    assert a_conv.meta == a_sl.meta
+
+    rng = np.random.RandomState(11)
+    cot = jnp.asarray(rng.randn(*a_sl.plane_buf.shape).astype(np.float32))
+
+    def loss(f, impl):
+        return jnp.sum(tf.pack_vm_patches(f, n_levels,
+                                          pack_impl=impl).plane_buf * cot)
+
+    g_conv = jax.grad(loss)(field, 'conv')
+    g_sl = jax.grad(loss)(field, 'slices')
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4),
+        g_conv, g_sl)
