@@ -141,8 +141,6 @@ def run():
     weights = losses.schedule_weights(cfg, 2000)
     phase = mc_shading.ShadePhase(nis_loss_diffuse=True,
                                   nis_loss_specular=True)
-    build = make_step_fn(cfg, rcfg, phase)
-    jitted, opt_state = build(params)
 
     # candidate/hit-rate diagnostic (reported for honesty: the budgeted
     # trace's cost scales with the candidate rate)
@@ -174,6 +172,20 @@ def run():
 
     cand_rate, hit_rate = rates(grid, batch, jax.random.PRNGKey(7))
 
+    # size the refinement budget the way the production trainer does
+    # (trainer_mat._adapt_secondary_budget buckets on the live candidate
+    # rate) so the bench measures the steady-state step, not the
+    # conservative first-compile budget
+    from tensoflow_tpu.train import trainer_mat as tm
+    bucket = next((b for b in tm.SEC_BUDGET_BUCKETS
+                   if b >= float(cand_rate) * tm.SEC_BUDGET_MARGIN),
+                  tm.SEC_BUDGET_BUCKETS[-1])
+    rcfg = rcfg._replace(shader=scfg._replace(secondary_budget=bucket))
+    scfg = rcfg.shader
+
+    build = make_step_fn(cfg, rcfg, phase)
+    jitted, opt_state = build(params)
+
     params, opt_state, total = jitted(params, opt_state, grid, batch, 2000,
                                       weights, jax.random.PRNGKey(0))
     float(total)
@@ -200,6 +212,7 @@ def run():
         'geometry': 'two-lobe union @128^3 bake (no dataset in image)',
         'secondary_cand_rate': round(float(cand_rate), 3),
         'secondary_hit_rate': round(float(hit_rate), 3),
+        'secondary_budget_bucket': bucket,
     }
     try:
         import bench

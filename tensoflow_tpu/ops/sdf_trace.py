@@ -495,7 +495,8 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
                         n_coarse: int = 8, n_fine: int = 7,
                         n_newton: int = 2, n_polish: int = 2,
                         hit_eps: float = None, step_scale: float = 0.9,
-                        max_dist: float = 4.0) -> CompactSecondary:
+                        max_dist: float = 4.0,
+                        c_cap_cells: float = 8.0) -> CompactSecondary:
     """Budgeted two-phase secondary trace (see module comment above).
 
     m: static refinement budget (slots).  h0: optional [N] cosine between
@@ -526,7 +527,7 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         hit_eps = 0.75 * cell
     hit_eps_m = 0.75 * m_cell
     step_cap = 4.0 * m_cell
-    c_cap = 8.0 * c_cell
+    c_cap = c_cap_cells * c_cell
     switch = c_diag + 2.0 * m_cell
 
     vec = jnp.where(rays_d == 0, 1e-6, rays_d)
@@ -567,8 +568,10 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         return t_new, near_new
 
     tc0 = jnp.where(clear, jnp.maximum(t0, t_enter), t_exit + 1.0)
-    t, near = jax.lax.fori_loop(0, n_coarse, coarse_body,
-                                (tc0, jnp.zeros((n,), bool)))
+    carry_c = (tc0, jnp.zeros((n,), bool))
+    for _ in range(n_coarse):            # static count: unroll (see below)
+        carry_c = coarse_body(0, carry_c)
+    t, near = carry_c
     # candidates: launch-uncertified rays (refine from t=0), plus clear
     # rays whose coarse march got near the surface or ran out of budget
     # while still inside the grid (conservative)
@@ -597,8 +600,10 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         return t_new, done_new, prev_new
 
     prev0 = jnp.full((m,), 2.0 * m_cell, rays_o.dtype)
-    tm, done, prev_step = jax.lax.fori_loop(
-        0, n_fine, fine_body, (tm, jnp.zeros((m,), bool), prev0))
+    carry_f = (tm, jnp.zeros((m,), bool), prev0)
+    for _ in range(n_fine):              # static count: unroll (see below)
+        carry_f = fine_body(0, carry_f)
+    tm, done, prev_step = carry_f
 
     # Newton on the mid interpolant inside the last-step bracket: the
     # crossing sits in [t - prev_step, t]; the interpolant's analytic
@@ -617,8 +622,13 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         t_new = jnp.clip(t - dv / slope, lo, hi)
         return t_new, dv
 
-    tm, d_end = jax.lax.fori_loop(0, n_newton, newton_mid,
-                                  (tm, jnp.zeros((m,), rays_o.dtype)))
+    # static trip counts: unroll in python — a lax.fori_loop here lowers
+    # to an XLA while whose shell alone cost ~6ms/step at bench scale
+    # (round-4 trace, %while.26) and blocks cross-iteration fusion
+    carry = (tm, jnp.zeros((m,), rays_o.dtype))
+    for _ in range(n_newton):
+        carry = newton_mid(0, carry)
+    tm, d_end = carry
     hit_m = done & (d_end < 2.0 * hit_eps_m) & (tm <= txm)
 
     # full-res polish: identical scheme to sphere_trace_packed
@@ -633,7 +643,9 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         dv, g = block_tap(pg, om + dm * t[:, None], want_grad=True)
         return _newton_full(t, dv, g)
 
-    t_p = jax.lax.fori_loop(0, max(n_polish - 1, 0), polish, tm)
+    t_p = tm
+    for _ in range(max(n_polish - 1, 0)):
+        t_p = polish(0, t_p)
     dv, g = block_tap(pg, om + dm * t_p[:, None], want_grad=True)
     t_ref = _newton_full(t_p, dv, g)
 

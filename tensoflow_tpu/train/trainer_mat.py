@@ -37,7 +37,7 @@ from .trainer import lr_factor_fn
 # the slot budget to the measured candidate rate so compaction cost
 # tracks the scene's actual self-occlusion (stage-1 sample-budget
 # analogue, trainer.py BUDGET_BUCKETS)
-SEC_BUDGET_BUCKETS = (0.125, 0.1875, 0.25, 0.375, 0.5, 0.75)
+SEC_BUDGET_BUCKETS = (0.125, 0.1875, 0.25, 0.3125, 0.375, 0.5, 0.75)
 SEC_BUDGET_MARGIN = 1.3
 SEC_BUDGET_INTERVAL = 500
 
