@@ -180,7 +180,11 @@ def run():
     bucket = next((b for b in tm.SEC_BUDGET_BUCKETS
                    if b >= float(cand_rate) * tm.SEC_BUDGET_MARGIN),
                   tm.SEC_BUDGET_BUCKETS[-1])
-    rcfg = rcfg._replace(shader=scfg._replace(secondary_budget=bucket))
+    bucket_h = next((b for b in tm.INNER_BUDGET_BUCKETS
+                     if b >= float(hit_rate) * tm.INNER_BUDGET_MARGIN),
+                    tm.INNER_BUDGET_BUCKETS[-1])
+    rcfg = rcfg._replace(shader=scfg._replace(secondary_budget=bucket,
+                                              inner_light_budget=bucket_h))
     scfg = rcfg.shader
 
     build = make_step_fn(cfg, rcfg, phase)
@@ -213,6 +217,7 @@ def run():
         'secondary_cand_rate': round(float(cand_rate), 3),
         'secondary_hit_rate': round(float(hit_rate), 3),
         'secondary_budget_bucket': bucket,
+        'inner_light_budget_bucket': bucket_h,
     }
     try:
         import bench

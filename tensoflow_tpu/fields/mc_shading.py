@@ -310,20 +310,47 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
                 res.cand.astype(jnp.float32))
             stats['secondary_hit_rate'] = jnp.sum(
                 (res.hit_m & res.slot_mask).astype(jnp.float32)) / n_rays
-        inner_m = get_inner_lights(params, cfg, res.inters, res.view_out,
-                                   res.normals)
-        from ..ops.grid import scatter_back
+        from ..ops.grid import (compact_indices, compact_take,
+                                scatter_back)
+        if 0.0 < cfg.inner_light_budget < 1.0:
+            # second compaction: the 4x256 inner-light MLP (+ its VJP +
+            # encodings) only runs on HIT slots — misses in the budget
+            # only need the outer cubemap lookup.  Hits are ~3-15% of
+            # rays while the refinement budget is ~20-40%, so this cuts
+            # the MLP row count 3-10x (round-4 trace: ~13ms of MLP work
+            # at budget width).  Overflow beyond the hit budget falls
+            # back to the outer light, mirroring the dense path's
+            # inner_light_budget semantics (visibility stays exact; only
+            # the light value degrades).
+            m2 = max((int(n_rays * min(cfg.inner_light_budget,
+                                       cfg.secondary_budget)) // 128)
+                     * 128, 128)
+            hit_slots = res.hit_m & res.slot_mask
+            src2, mask2, dest2 = compact_indices(hit_slots, m2)
+            pay = jnp.concatenate(
+                [res.inters, res.view_out, res.normals], -1)      # [M1,9]
+            pm2 = compact_take(pay, src2, dest2, mask2)
+            inner2 = get_inner_lights(params, cfg, pm2[:, 0:3],
+                                      pm2[:, 3:6], pm2[:, 6:9])
+            inner_m = scatter_back(inner2, dest2, src=src2,
+                                   slot_mask=mask2)
+            use_inner_m = hit_slots & (dest2 < m2)
+        else:
+            inner_m = get_inner_lights(params, cfg, res.inters,
+                                       res.view_out, res.normals)
+            use_inner_m = res.hit_m
         # ONE wide expansion for lights + depth + hit: a scalar column
         # expanded on its own is a 1-element-per-row gather that runs
         # ~10x above the wide-gather rate (see CompactSecondary)
         payload_m = jnp.concatenate(
             [inner_m, res.depth_m[:, None],
-             res.hit_m[:, None].astype(inner_m.dtype)], -1)
+             res.hit_m[:, None].astype(inner_m.dtype),
+             use_inner_m[:, None].astype(inner_m.dtype)], -1)
         full = scatter_back(payload_m, res.dest, src=res.src,
                             slot_mask=res.slot_mask)
         hit = full[:, 4] > 0.5                  # overflow/miss -> fill 0
         depth = jnp.where(hit, full[:, 3], sdf_trace.MISS_DEPTH)[:, None]
-        lights = jnp.where(hit[:, None], full[:, 0:3], outer)
+        lights = jnp.where(full[:, 5:6] > 0.5, full[:, 0:3], outer)
         near_mask = (depth > eps).astype(lights.dtype)
         lights = lights * near_mask
         return lights.reshape(*shape, 3), hit.reshape(shape)

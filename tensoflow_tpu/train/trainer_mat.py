@@ -40,6 +40,12 @@ from .trainer import lr_factor_fn
 SEC_BUDGET_BUCKETS = (0.125, 0.1875, 0.25, 0.3125, 0.375, 0.5, 0.75)
 SEC_BUDGET_MARGIN = 1.3
 SEC_BUDGET_INTERVAL = 500
+# hit-slot budget for the inner-light MLP compaction (get_lights second
+# compaction): re-bucketed to the measured secondary hit rate. Wider
+# margin than the candidate budget — the hit rate drifts as the light /
+# material fields sharpen. Overflow degrades to the outer light only.
+INNER_BUDGET_BUCKETS = (0.03125, 0.0625, 0.125, 0.25, 0.5)
+INNER_BUDGET_MARGIN = 1.5
 
 
 def mat_param_group_label(path_str: str) -> str:
@@ -296,7 +302,8 @@ class MaterialTrainer:
             if ((step + 1) % SEC_BUDGET_INTERVAL == 0
                     and 'secondary_cand_rate' in aux):
                 self._adapt_secondary_budget(
-                    float(aux['secondary_cand_rate']))
+                    float(aux['secondary_cand_rate']),
+                    float(aux.get('secondary_hit_rate', -1.0)))
             if (step + 1) % log_every == 0 or step == self.start_step:
                 host = {k_: float(v) for k_, v in aux.items()
                         if np.ndim(v) == 0}
@@ -308,18 +315,28 @@ class MaterialTrainer:
         return logs
 
     # ------------------------------------------------------------------
-    def _adapt_secondary_budget(self, cand_rate: float):
+    def _adapt_secondary_budget(self, cand_rate: float,
+                                hit_rate: float = -1.0):
         """Re-bucket the secondary-trace refinement budget to the live
-        candidate rate (one recompile per bucket change)."""
+        candidate rate — and the inner-light hit budget to the live hit
+        rate (one recompile per bucket change)."""
         scfg = self.rcfg.shader
         if not (0.0 < scfg.secondary_budget < 1.0):
             return
         want = next((b for b in SEC_BUDGET_BUCKETS
                      if b >= cand_rate * SEC_BUDGET_MARGIN),
                     SEC_BUDGET_BUCKETS[-1])
+        repl = {}
         if want != scfg.secondary_budget:
-            self.rcfg = self.rcfg._replace(
-                shader=scfg._replace(secondary_budget=want))
+            repl['secondary_budget'] = want
+        if hit_rate >= 0.0 and 0.0 < scfg.inner_light_budget < 1.0:
+            want_h = next((b for b in INNER_BUDGET_BUCKETS
+                           if b >= hit_rate * INNER_BUDGET_MARGIN),
+                          INNER_BUDGET_BUCKETS[-1])
+            if want_h != scfg.inner_light_budget:
+                repl['inner_light_budget'] = want_h
+        if repl:
+            self.rcfg = self.rcfg._replace(shader=scfg._replace(**repl))
 
     # ------------------------------------------------------------------
     def save(self, path: str):
