@@ -496,7 +496,7 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
                         n_newton: int = 2, n_polish: int = 2,
                         hit_eps: float = None, step_scale: float = 0.9,
                         max_dist: float = 4.0,
-                        c_cap_cells: float = 8.0) -> CompactSecondary:
+                        c_cap_cells: float = 12.0) -> CompactSecondary:
     """Budgeted two-phase secondary trace (see module comment above).
 
     m: static refinement budget (slots).  h0: optional [N] cosine between
@@ -544,8 +544,14 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         into = h0 <= 0.0
         hs = jnp.maximum(h0, h_min)
         t0 = jnp.minimum((arm - delta) / hs, t_exit)
-        d_probe = _packed_tap(pg.mid_rows, pg.aabb,
-                              rays_o + rays_d * t0[:, None])
+        # probe the COARSE grid (1.86 vs 4 ns/row for the mid table,
+        # -3.4ms/step at bench scale) with a 0.25*c_diag conservative
+        # margin: the margined coarse test never certifies a ray the mid
+        # probe wouldn't (measured 0 unsafe clears, ~1% extra candidates
+        # on the two-lobe stand-in)
+        d_probe = _packed_tap(pg.coarse_rows, pg.aabb,
+                              rays_o + rays_d * t0[:, None]) \
+            - 0.25 * c_diag
         pred = delta + t0 * jnp.maximum(h0, 0.0)
         clear = (h0 >= h_min) & (d_probe > 0.6 * jnp.minimum(pred, arm))
         cand0 = ~clear & ~into
