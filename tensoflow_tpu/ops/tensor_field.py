@@ -559,6 +559,15 @@ class PatchMeta(NamedTuple):
     line_lens: Tuple[Tuple[int, ...], ...]       # [3][L]
     n_levels: int
     n_comp: int
+    # 'p16': rows are full 4x4 patches [16C], one gather per sample.
+    # 'p4':  rows are 1x4 dv-spans [4C], FOUR gathers per sample
+    #        (consecutive padded rows au..au+3) reshaped to the same
+    #        [N, 16C] slot-major block.  p4 packs 4x the plane bytes
+    #        instead of 16x — at the 512^3 phase the p16 pack + VJP
+    #        dominated the step (round-4 trace), while the extra gather
+    #        rows cost ~2.5ns each.  Uniform per atlas so dynamic
+    #        fractional-mip branches keep a single buffer/indexing.
+    plane_fmt: str = 'p16'
 
 
 @jax.tree_util.register_pytree_node_class
@@ -585,19 +594,25 @@ class PatchAtlas:
 # fixed per-plane cost that dominated the 128^3 step (bench regression
 # 57 -> 89 ms, round 4), while at 512^2 the slice-concat chain's 16x
 # re-materialization was the 107ms-of-221ms offender.
-PACK_CONV_MIN_TEXELS = 256 * 256
+# (TENSOFLOW_PACK_CONV_MIN overrides for A/B runs.)
+import os as _os
+PACK_CONV_MIN_TEXELS = int(_os.environ.get('TENSOFLOW_PACK_CONV_MIN',
+                                           256 * 256))
+# Top-plane size at/above which the whole atlas switches to p4 rows
+# (1x4 dv-spans, 4 gathers per sample — see PatchMeta.plane_fmt).
+# (TENSOFLOW_PACK_P4_MIN overrides for A/B runs.)
+PACK_P4_MIN_TEXELS = int(_os.environ.get('TENSOFLOW_PACK_P4_MIN',
+                                         256 * 256))
 
 
-def pack_vm_patches(field: FieldParams, n_levels: int = 1,
-                    gather_dtype=None, pack_impl: str = 'auto') -> PatchAtlas:
-    """Build the patch atlas (differentiable; once per train step).
+def _pack_vm_patches_p4(field: FieldParams, n_levels: int,
+                        gather_dtype=None) -> PatchAtlas:
+    """p4 atlas: rows are padded-texture 1x4 dv-spans [4C].
 
-    Each plane row (a_u * (W+1) + a_v) stores the 16 edge-clamped texels
-    (clip(a_u-1+du), clip(a_v-1+dv)), du,dv in [-1,2], slot-major
-    (du*4+dv); each line row stores the 4 texels clip(a-1+dx).
-
-    pack_impl: 'auto' (size-gated), 'conv', or 'slices' — both paths are
-    pinned equal by tests/test_packed_field.py."""
+    Pack traffic is 4x the plane bytes (vs p16's 16x through
+    layout-hostile [513,513,16C] intermediates — the 512^3 pack+VJP
+    dominated the step, round-4 trace); the gather side pays 4 row
+    fetches per sample instead of 1."""
     pparts, lparts = [], []
     p_offs, p_shapes, l_offs, l_lens = [], [], [], []
     poff = loff = 0
@@ -606,9 +621,72 @@ def pack_vm_patches(field: FieldParams, n_levels: int = 1,
         for tex in build_pyramid_2d(field['planes'][i], n_levels):
             h, w, c = tex.shape
             pad = jnp.pad(tex, ((2, 2), (2, 2), (0, 0)), mode='edge')
-            use_conv = (pack_impl == 'conv'
-                        or (pack_impl == 'auto'
-                            and h * w >= PACK_CONV_MIN_TEXELS))
+            # rows u_p in [0, H+3] x a_v in [0, W]: pad[u_p, a_v..a_v+3]
+            slots = [pad[:, dv + 1:dv + 2 + w] for dv in (-1, 0, 1, 2)]
+            patch = jnp.concatenate(slots, axis=-1)        # [H+4, W+1, 4C]
+            pparts.append(patch.reshape((h + 4) * (w + 1), 4 * c))
+            offs.append(poff)
+            shps.append((h, w))
+            poff += (h + 4) * (w + 1)
+        p_offs.append(tuple(offs))
+        p_shapes.append(tuple(shps))
+    for i in range(3):
+        offs, lens = [], []
+        for tex in build_pyramid_1d(field['lines'][i], n_levels):
+            l, c = tex.shape
+            pad = jnp.pad(tex, ((2, 2), (0, 0)), mode='edge')
+            slots = [pad[dx + 1:dx + 2 + l] for dx in (-1, 0, 1, 2)]
+            lparts.append(jnp.concatenate(slots, axis=-1))
+            offs.append(loff)
+            lens.append(l)
+            loff += l + 1
+        l_offs.append(tuple(offs))
+        l_lens.append(tuple(lens))
+    pbuf = jnp.concatenate(pparts, axis=0)
+    lbuf = jnp.concatenate(lparts, axis=0)
+    if gather_dtype is not None:
+        pbuf = pbuf.astype(gather_dtype)
+        lbuf = lbuf.astype(gather_dtype)
+    meta = PatchMeta(tuple(p_offs), tuple(p_shapes), tuple(l_offs),
+                     tuple(l_lens), n_levels, field['planes'][0].shape[-1],
+                     plane_fmt='p4')
+    return PatchAtlas(pbuf, lbuf, meta)
+
+
+def pack_vm_patches(field: FieldParams, n_levels: int = 1,
+                    gather_dtype=None, pack_impl: str = 'auto') -> PatchAtlas:
+    """Build the patch atlas (differentiable; once per train step).
+
+    p16 rows (a_u * (W+1) + a_v) store the 16 edge-clamped texels
+    (clip(a_u-1+du), clip(a_v-1+dv)), du,dv in [-1,2], slot-major
+    (du*4+dv); each line row stores the 4 texels clip(a-1+dx).
+    p4 rows (u_p * (W+1) + a_v) store the 4 texels pad[u_p, a_v..a_v+3]
+    of ONE padded texture row — the gather side fetches rows
+    a_u..a_u+3 and reassembles the identical [N, 16C] block (see
+    PatchMeta.plane_fmt).  The atlas-wide format is p4 when the top
+    plane reaches PACK_P4_MIN_TEXELS.
+
+    pack_impl: 'auto' (size-gated), 'conv', 'slices', 'p4', or 'p16' —
+    all paths pinned equal by tests/test_packed_field.py."""
+    top = field['planes'][0].shape
+    if pack_impl == 'p4' or (pack_impl == 'auto'
+                             and top[0] * top[1] >= PACK_P4_MIN_TEXELS):
+        return _pack_vm_patches_p4(field, n_levels, gather_dtype)
+    if pack_impl == 'p16':
+        pack_impl = 'auto'
+    pparts, lparts = [], []
+    p_offs, p_shapes, l_offs, l_lens = [], [], [], []
+    poff = loff = 0
+    for i in range(3):
+        offs, shps = [], []
+        for tex in build_pyramid_2d(field['planes'][i], n_levels):
+            h, w, c = tex.shape
+            pad = jnp.pad(tex, ((2, 2), (2, 2), (0, 0)), mode='edge')
+            # 'conv' is explicit-only: conv_general_dilated_patches'
+            # conv-transpose VJP runs at ~0.1% efficiency on TPU
+            # (130ms per 512^2 plane, round-4 trace) — big planes go
+            # through the p4 atlas instead (gate above)
+            use_conv = (pack_impl == 'conv')
             if use_conv:
                 # ONE extract-patches op instead of 16 shifted-slice
                 # concats: the concat chain re-materialized ~16x the
@@ -729,7 +807,7 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
         static = isinstance(l0, int)
         sgs = []
         fracs, sig_lanes = [], []
-        p_idx, l_idx = [], []
+        p_idx, l_idx, p_strides = [], [], []
         for i in range(3):
             a, b = MAT_MODE[i]
             if static:
@@ -754,6 +832,7 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
             au = jnp.clip(u0.astype(jnp.int32) + 1, 0, hi)
             av = jnp.clip(v0.astype(jnp.int32) + 1, 0, wi)
             p_idx.append(base + au * (wi + 1) + av)
+            p_strides.append(wi + 1)
             sgs.append((d01[a] * hf, d01[b] * wf) if static else None)
         sig_x = []
         for i in range(3):
@@ -777,8 +856,23 @@ def vm_patch_gather(atlas: PatchAtlas, xyz01, delta01, level=None):
         # separate gathers per texture: fusing them looks tempting but the
         # row-slices back out must MATERIALIZE to feed the Pallas kernel
         # (+450MB/step, measured slower)
-        pps = [jnp.take(atlas.plane_buf, ix, axis=0, mode='clip')
-               for ix in p_idx]
+        if meta.plane_fmt == 'p4':
+            # 4 consecutive padded rows per sample reassemble the same
+            # [N, 16C] slot-major block the kernel expects (p_idx holds
+            # the k=0 row; stride is one padded row = W+1)
+            pps = []
+            for i, ix in enumerate(p_idx):
+                stride = p_strides[i]
+                ix4 = (ix[:, None]
+                       + jnp.arange(4, dtype=jnp.int32)[None, :]
+                       * (stride[:, None] if not isinstance(stride, int)
+                          else stride))
+                rows = jnp.take(atlas.plane_buf, ix4.reshape(-1), axis=0,
+                                mode='clip')
+                pps.append(rows.reshape(n, -1))
+        else:
+            pps = [jnp.take(atlas.plane_buf, ix, axis=0, mode='clip')
+                   for ix in p_idx]
         small_lines = atlas.line_buf.shape[0] <= SMALL_TABLE_ROWS
         lps = [(take_rows_small(atlas.line_buf, ix) if small_lines
                 else jnp.take(atlas.line_buf, ix, axis=0, mode='clip'))

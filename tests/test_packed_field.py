@@ -175,3 +175,50 @@ def test_pack_vm_patches_conv_matches_slices(n_levels):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4),
         g_conv, g_sl)
+
+
+@pytest.mark.parametrize('n_levels,with_level', [(1, False), (3, True)])
+def test_pack_vm_patches_p4_matches_p16(n_levels, with_level):
+    """The p4 atlas (1x4 dv-span rows, 4 gathers/sample) must reproduce
+    the p16 patch blocks and plane/line gradients exactly, including
+    dynamic fractional-mip branches."""
+    field = _mk_field(9, gs=(16, 12, 8), c=4)
+    rng = np.random.RandomState(5)
+    xyz = jnp.asarray(rng.rand(48, 3).astype(np.float32))
+    level = (jnp.asarray(rng.rand(48).astype(np.float32) * (n_levels - 1))
+             if with_level else None)
+    delta = (0.01, 0.01, 0.01)
+
+    def blocks(f, impl):
+        atlas = tf.pack_vm_patches(f, n_levels, pack_impl=impl)
+        pp, lp, fr, sig = tf.vm_patch_gather(atlas, xyz, delta, level)
+        return pp, lp, fr
+
+    pp16, lp16, fr16 = blocks(field, 'p16')
+    pp4, lp4, fr4 = blocks(field, 'p4')
+    for b in range(len(pp16)):
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(pp4[b][i]),
+                                       np.asarray(pp16[b][i]),
+                                       atol=1e-6, rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(lp4[b][i]),
+                                       np.asarray(lp16[b][i]),
+                                       atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fr4), np.asarray(fr16),
+                               atol=1e-6, rtol=1e-6)
+
+    cots = [jnp.asarray(rng.randn(*np.asarray(p).shape).astype(np.float32))
+            for p in sum(pp16, [])]
+
+    def loss(f, impl):
+        atlas = tf.pack_vm_patches(f, n_levels, pack_impl=impl)
+        pp, _, _, _ = tf.vm_patch_gather(atlas, xyz, delta, level)
+        flat = sum(pp, [])
+        return sum(jnp.sum(p * c) for p, c in zip(flat, cots))
+
+    g16 = jax.grad(loss)(field, 'p16')
+    g4 = jax.grad(loss)(field, 'p4')
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4),
+        g16, g4)
