@@ -58,6 +58,33 @@ def run_phase(reso, n_levels, trace=False):
     d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
     d += 0.1 * rng.randn(rays, 3).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # adaptive sample budget, sized EXACTLY like the trainer's
+    # maybe_adapt_budget (mirrors bench.py; a fixed 64 budget measures
+    # dead compaction slots the production trainer would have shed)
+    from tensoflow_tpu.train.trainer import BUDGET_BUCKETS, BUDGET_MARGIN
+    import jax.numpy as jnp
+    voxel = (occ_cfg.aabb_max - occ_cfg.aabb_min) / occ_cfg.resolution
+    mstep = rcfg.step_ratio * voxel
+    n_cand = int(np.ceil(3.0 / mstep))
+
+    @jax.jit
+    def _mean_valid(state, oo, dd):
+        near = jnp.full((rays, 1), 0.5, jnp.float32)
+        far = jnp.full((rays, 1), 3.5, jnp.float32)
+        _, _, mask = grid_mod.occ_grid_sampling(
+            state, occ_cfg, oo, dd, near, far, float(mstep), n_cand,
+            rcfg.occ_max_samples)
+        return jnp.mean(jnp.sum(mask.astype(jnp.float32), axis=1))
+
+    mean_valid = float(_mean_valid(occ_state, jnp.asarray(o),
+                                   jnp.asarray(d)))
+    cap = rcfg.compact_samples_per_ray
+    budget = next((b for b in BUDGET_BUCKETS
+                   if b >= mean_valid * BUDGET_MARGIN and b <= cap), cap)
+    rcfg = rcfg._replace(compact_samples_per_ray=budget)
+    print(f'[budget] mean_valid={mean_valid:.1f} -> '
+          f'compact_samples_per_ray={budget}', flush=True)
     batch = {k: jnp.asarray(v) for k, v in {
         'rays_o': o, 'rays_d': d, 'dirs': d,
         'radiis': np.full((rays, 1), 1e-3, np.float32),
