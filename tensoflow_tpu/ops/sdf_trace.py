@@ -518,6 +518,19 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
     r = pg.reso
     rm = pg.mid_rows.shape[0]
     rc = pg.coarse_rows.shape[0]
+    coarse_rows = pg.coarse_rows
+    if jax.default_backend() == 'tpu':
+        # pin the coarse table to the mid table's column-major layout:
+        # XLA assigns {1,0} to coarse_rows, and every coarse-march tap's
+        # gather output then pays a [N,8] {1,0}->{0,1} relayout copy
+        # (8 x ~0.55ms/step at bench scale, round-4 trace)
+        try:
+            from jax.experimental.layout import (Format, Layout,
+                                                 with_layout_constraint)
+            coarse_rows = with_layout_constraint(
+                coarse_rows, Format(Layout(major_to_minor=(1, 0))))
+        except Exception:
+            pass
     ext_mean = jnp.mean(pg.aabb[1] - pg.aabb[0])
     cell = ext_mean / (r - 1)
     m_cell = ext_mean / (rm - 1)
@@ -549,7 +562,7 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         # margin: the margined coarse test never certifies a ray the mid
         # probe wouldn't (measured 0 unsafe clears, ~1% extra candidates
         # on the two-lobe stand-in)
-        d_probe = _packed_tap(pg.coarse_rows, pg.aabb,
+        d_probe = _packed_tap(coarse_rows, pg.aabb,
                               rays_o + rays_d * t0[:, None]) \
             - 0.25 * c_diag
         pred = delta + t0 * jnp.maximum(h0, 0.0)
@@ -564,7 +577,7 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
     # ---- phase A1: dense coarse classification of the clear rays ----
     def coarse_body(_, carry):
         t, near = carry
-        d = _packed_tap(pg.coarse_rows, pg.aabb,
+        d = _packed_tap(coarse_rows, pg.aabb,
                         rays_o + rays_d * t[:, None])
         near_new = near | (d < switch)
         done = near_new | (t > t_exit)
