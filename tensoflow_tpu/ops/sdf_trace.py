@@ -496,7 +496,9 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
                         n_newton: int = 2, n_polish: int = 2,
                         hit_eps: float = None, step_scale: float = 0.9,
                         max_dist: float = 4.0,
-                        c_cap_cells: float = 12.0) -> CompactSecondary:
+                        c_cap_cells: float = 12.0,
+                        cert_factor: float = 0.6,
+                        h_min: float = 0.12) -> CompactSecondary:
     """Budgeted two-phase secondary trace (see module comment above).
 
     m: static refinement budget (slots).  h0: optional [N] cosine between
@@ -551,7 +553,6 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
 
     # ---- phase A0: analytic launch-shell crossing + one-probe check ----
     arm = 1.25 * switch
-    h_min = 0.15
     delta = 1.5 * m_cell          # callers' normal-offset height
     if h0 is not None:
         into = h0 <= 0.0
@@ -566,7 +567,7 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
                               rays_o + rays_d * t0[:, None]) \
             - 0.25 * c_diag
         pred = delta + t0 * jnp.maximum(h0, 0.0)
-        clear = (h0 >= h_min) & (d_probe > 0.6 * jnp.minimum(pred, arm))
+        clear = (h0 >= h_min) & (d_probe > cert_factor * jnp.minimum(pred, arm))
         cand0 = ~clear & ~into
     else:
         into = jnp.zeros((n,), bool)
