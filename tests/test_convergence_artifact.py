@@ -45,3 +45,38 @@ def test_convergence_trajectory_bounds():
     # occ loss became active on schedule
     occ_rows = [r for r in steps if r['step'] > 1600 and 'loss_occ' in r]
     assert occ_rows, 'occ-loss phase never appeared in logs'
+
+
+MAT_ART = os.path.join(os.path.dirname(ART),
+                       'toy_material_convergence.json')
+
+
+def test_material_convergence_trajectory_bounds():
+    """Stage-2 schedule-scale artifact (scripts/convergence_mat.py):
+    1500 material steps on the hermetic toy sphere through the full NIS
+    schedule (flow warmup -> sampling on at step 300 -> frozen-copy
+    refresh cadence).  PSNR must converge; the per-sample estimator
+    variance is NOT asserted monotone — it scales with the learned
+    light's contrast (jnp.var of fx/p, mc_shading.py), so it rises as
+    the env light sharpens even while sampling improves."""
+    with open(MAT_ART) as f:
+        t = json.load(f)
+    assert t['mat_steps'] == 1500 and t['nis_start_iter'] == 300
+    traj = t['trajectory']
+    steps = [m['step'] for m in traj]
+    assert steps[-1] == 1500 and len(traj) >= 20
+    ps = [m['psnr'] for m in traj]
+    vs = [m['variance'] for m in traj]
+    assert np.isfinite(ps).all() and np.isfinite(vs).all()
+    # stage-1 geometry converged before baking
+    assert t['stage1_psnr'][1] > t['stage1_psnr'][0] + 5.0
+    # material stage converges and stays converged THROUGH the NIS
+    # phase flips (sampling on, copy refreshes each update interval)
+    first = np.mean(ps[:3])
+    tail = np.mean(ps[-5:])
+    assert tail > first + 4.0, (first, tail)
+    assert max(ps) > 20.0, max(ps)
+    # no post-NIS collapse: the worst post-NIS psnr stays above the
+    # pre-NIS start
+    post = [p for s, p in zip(steps, ps) if s > 300]
+    assert min(post) > first, (first, min(post))
