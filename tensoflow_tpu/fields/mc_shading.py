@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sdf_trace, tensor_field as tfield
-from ..ops.brdf import (distribution_ggx, fresnel_schlick_directions,
+from ..ops.brdf import (distribution_ggx, fresnel_schlick,
+                        fresnel_schlick_directions,
                         geometry as brdf_geometry)
 from ..ops.math import (contraction, linear_to_srgb, safe_normalize,
                         saturate_dot, positional_encoding, pe_dim,
@@ -88,6 +89,15 @@ class MCShadingConfig(NamedTuple):
     # material field
     mat_n_comp: int = 36
     mat_n_levels: int = 3
+
+    # dtype for the wide [pn, sn, 3] estimator chains (BRDF weights, light
+    # mixing, reductions).  'bf16' halves the HBM traffic of the ~60ms of
+    # sub-ms elementwise fusions that dominate the stage-2 step outside the
+    # trace (round-4 xplane accounting); every reduction over the samples
+    # axis still accumulates in f32 and all losses/outputs are f32.  The
+    # flow chains, the trace, and direction sampling stay f32 (angle math
+    # and positions need the mantissa).  Parity fixtures pin 'f32'.
+    estimator_dtype: str = 'bf16'           # 'f32' | 'bf16'
 
     @property
     def mat_feature_dim(self) -> int:
@@ -459,8 +469,6 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     h_diff = safe_normalize(view_dirs[:, None, :] + diffuse_dirs)
     hov_diff = saturate_dot(h_diff, view_dirs[:, None, :])
 
-    kd = 1.0 - metallic[:, None, :]
-
     # ---------------- specular sampling ----------------
     stable = jnp.asarray(direction_samples_01(cfg.specular_sample_num))
     az_rng_s = k_sa if (is_train and cfg.random_azimuth) else None
@@ -478,18 +486,34 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
         spec_dirs, spec_prob, spec_half = s_dirs2, s_prob2, s_half2
     spec_num = spec_dirs.shape[1]
 
+    # estimator-chain dtype (see MCShadingConfig.estimator_dtype): all the
+    # wide [pn,sn,3] BRDF/light elementwise math below runs in `cdt`; every
+    # samples-axis reduction accumulates in f32 and the NIS/flow log math
+    # stays f32 (logs of bf16 probabilities would bias the flow grads).
+    cdt = jnp.bfloat16 if cfg.estimator_dtype == 'bf16' else pts.dtype
+    nc = normals.astype(cdt)
+    vc = view_dirs.astype(cdt)
+    dd_c = diffuse_dirs.astype(cdt)
+    sd_c = spec_dirs.astype(cdt)
+    met_c = metallic.astype(cdt)
+    alb_c = albedo.astype(cdt)
+    rough_c = roughness.astype(cdt)
+    kd = 1.0 - met_c[:, None, :]
+
     # dense NoL>0 mask replaces compaction (ref: fields.py:1209-1214)
     spec_mask = (jnp.sum(spec_dirs * normals[:, None, :], -1) > 0)
-    spec_mask_f = spec_mask[..., None].astype(pts.dtype)
+    spec_mask_f = spec_mask[..., None].astype(cdt)
 
-    f0 = 0.04 * (1.0 - metallic) + metallic * albedo
-    fresnel, h_spec, hov_spec = fresnel_schlick_directions(
-        f0[:, None, :], view_dirs[:, None, :], spec_dirs)
-    nov = saturate_dot(normals, view_dirs)[:, None, :]
-    nol = saturate_dot(normals[:, None, :], spec_dirs)
-    geom = brdf_geometry(nov, nol, roughness[:, None, :], cfg.geometry_type)
-    noh = saturate_dot(normals[:, None, :], h_spec)
-    dist = distribution_ggx(noh, roughness[:, None, :])
+    f0 = 0.04 * (1.0 - met_c) + met_c * alb_c
+    # the half vector + hov stay f32: hov feeds the NIS log-density terms
+    h_spec = safe_normalize(view_dirs[:, None, :] + spec_dirs)
+    hov_spec = saturate_dot(h_spec, view_dirs[:, None, :])
+    fresnel = fresnel_schlick(f0[:, None, :], hov_spec.astype(cdt))
+    nov = saturate_dot(nc, vc)[:, None, :]
+    nol = saturate_dot(nc[:, None, :], sd_c)
+    geom = brdf_geometry(nov, nol, rough_c[:, None, :], cfg.geometry_type)
+    noh = saturate_dot(nc[:, None, :], h_spec.astype(cdt))
+    dist = distribution_ggx(noh, rough_c[:, None, :])
 
     # ONE batched secondary-ray pass for diffuse + specular: the trace's
     # fori_loops carry ~40% non-gather overhead per phase (round-3
@@ -505,24 +529,29 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     spec_lights = all_lights[:, dn:]
     light_hit = all_hit[:, dn:]
 
-    diffuse_weights = (albedo[:, None, :] * kd
-                       * (saturate_dot(diffuse_dirs, normals[:, None, :])
-                          / np.pi))
+    dl_c = diffuse_lights.astype(cdt)
+    sl_c = spec_lights.astype(cdt)
+    dp_c = jnp.maximum(diffuse_prob, EPS).astype(cdt)
+    sp_c = jnp.maximum(spec_prob, EPS).astype(cdt)
+
+    diffuse_weights = (alb_c[:, None, :] * kd
+                       * (saturate_dot(dd_c, nc[:, None, :]) / np.pi))
     diffuse_colors = jnp.mean(
-        diffuse_weights * diffuse_lights
-        / jnp.maximum(diffuse_prob, EPS), 1)
+        diffuse_weights * dl_c / dp_c, 1, dtype=jnp.float32)
 
     spec_weights = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
     specular_colors = jnp.sum(
-        spec_mask_f * spec_weights * spec_lights
-        / jnp.maximum(spec_prob, EPS), 1) / spec_num
+        spec_mask_f * spec_weights * sl_c / sp_c, 1,
+        dtype=jnp.float32) / spec_num
 
     colors = linear_to_srgb(diffuse_colors + specular_colors)
 
-    light_hit_f = (light_hit[..., None].astype(pts.dtype)) * spec_mask_f
-    visibility = 1.0 - jnp.sum(light_hit_f, 1) / spec_num
-    indirect_light = jnp.sum(spec_lights * light_hit_f, 1) / spec_num
-    specular_light = jnp.sum(spec_lights * spec_mask_f, 1) / spec_num
+    light_hit_f = (light_hit[..., None].astype(cdt)) * spec_mask_f
+    visibility = 1.0 - jnp.sum(light_hit_f, 1, dtype=jnp.float32) / spec_num
+    indirect_light = jnp.sum(sl_c * light_hit_f, 1,
+                             dtype=jnp.float32) / spec_num
+    specular_light = jnp.sum(sl_c * spec_mask_f, 1,
+                             dtype=jnp.float32) / spec_num
 
     outputs: Dict[str, Any] = {
         'albedo': albedo,
@@ -541,13 +570,14 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     # (ref: fields.py:1248 — note the reference adds the already-srgb'd
     # specular color inside the srgb transform; replicated as-is)
     outputs['approximate_light'] = jnp.clip(
-        linear_to_srgb(jnp.mean(kd * diffuse_lights, 1)
+        linear_to_srgb(jnp.mean(kd * dl_c, 1, dtype=jnp.float32)
                        + outputs['specular_color']), 0, 1)
 
     # ---------------- NIS losses (ref: fields.py:1254-1333) ----------------
-    fx_d = diffuse_weights * diffuse_lights
+    fx_d = diffuse_weights * dl_c
     outputs['variance'] = jnp.var(
-        jnp.mean(fx_d, -1, keepdims=True) / jnp.maximum(diffuse_prob, EPS))
+        jnp.mean(fx_d, -1, keepdims=True, dtype=jnp.float32)
+        / jnp.maximum(diffuse_prob, EPS))
 
     if phase.nis_loss_diffuse and cfg.use_nis_diffuse:
         sn = cfg.nis_diffuse_sample_num
@@ -560,15 +590,16 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
             roughness, x)
         logqx = logqx_ - jnp.log(jnp.maximum(
             4 * np.pi ** 2 * hov_diff[:, :sn] * jnp.sin(theta), EPS))
-        fx = fx_d[:, :sn]
+        fx = fx_d[:, :sn].astype(jnp.float32)
         dp = jnp.maximum(diffuse_prob[:, :sn], EPS)
         outputs['loss_nis_diffuse'] = -jnp.mean(fx * logqx / dp)
     else:
         outputs['loss_nis_diffuse'] = jnp.zeros(())
 
-    fx_s = spec_weights * spec_lights
+    fx_s = spec_weights * sl_c
     outputs['variance_specular'] = jnp.var(
-        jnp.mean(fx_s, -1, keepdims=True) / jnp.maximum(spec_prob, EPS))
+        jnp.mean(fx_s, -1, keepdims=True, dtype=jnp.float32)
+        / jnp.maximum(spec_prob, EPS))
 
     if phase.nis_loss_specular and cfg.use_nis_specular:
         phi = spec_half[..., 0:1]
@@ -581,8 +612,10 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
         logqx = logqx_ - jnp.log(jnp.maximum(
             4 * np.pi ** 2 * hov_spec * jnp.sin(theta), EPS))
         sp = jnp.maximum(spec_prob, EPS)
-        term = fx_s * logqx / sp * spec_mask_f
-        denom = jnp.maximum(jnp.sum(spec_mask_f) * 3.0, 1.0)
+        term = fx_s.astype(jnp.float32) * logqx / sp \
+            * spec_mask[..., None].astype(jnp.float32)
+        denom = jnp.maximum(
+            jnp.sum(spec_mask.astype(jnp.float32)) * 3.0, 1.0)
         outputs['loss_nis_specular'] = -jnp.sum(term) / denom
     else:
         outputs['loss_nis_specular'] = jnp.zeros(())
@@ -628,24 +661,39 @@ def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
         jnp.broadcast_to(pts[:, None, :], directions.shape), directions,
         human_poses, normals=normals)
 
-    kd = 1.0 - metallic[:, None, :]
-    diffuse_w = (albedo[:, None, :] * kd
-                 * (saturate_dot(directions, normals[:, None, :]) / np.pi))
-    diffuse_colors = jnp.mean(diffuse_w * lights / jnp.maximum(prob, EPS), 1)
+    # estimator-chain dtype: same policy as shade_mixed (bf16 elementwise,
+    # f32 reductions / NIS log math)
+    cdt = jnp.bfloat16 if cfg.estimator_dtype == 'bf16' else pts.dtype
+    nc = normals.astype(cdt)
+    vc = view_dirs.astype(cdt)
+    dirs_c = directions.astype(cdt)
+    met_c = metallic.astype(cdt)
+    alb_c = albedo.astype(cdt)
+    rough_c = roughness.astype(cdt)
+    lights_c = lights.astype(cdt)
+    prob_c = jnp.maximum(prob, EPS).astype(cdt)
 
-    f0 = 0.04 * (1.0 - metallic) + metallic * albedo
-    fresnel, h, hov = fresnel_schlick_directions(
-        f0[:, None, :], view_dirs[:, None, :], directions)
-    nov = saturate_dot(normals, view_dirs)[:, None, :]
-    nol = saturate_dot(normals[:, None, :], directions)
-    geom = brdf_geometry(nov, nol, roughness[:, None, :], cfg.geometry_type)
-    noh = saturate_dot(normals[:, None, :], h)
-    dist = distribution_ggx(noh, roughness[:, None, :])
+    kd = 1.0 - met_c[:, None, :]
+    diffuse_w = (alb_c[:, None, :] * kd
+                 * (saturate_dot(dirs_c, nc[:, None, :]) / np.pi))
+    diffuse_colors = jnp.mean(diffuse_w * lights_c / prob_c, 1,
+                              dtype=jnp.float32)
+
+    f0 = 0.04 * (1.0 - met_c) + met_c * alb_c
+    h = safe_normalize(view_dirs[:, None, :] + directions)
+    hov = saturate_dot(h, view_dirs[:, None, :])
+    fresnel = fresnel_schlick(f0[:, None, :], hov.astype(cdt))
+    nov = saturate_dot(nc, vc)[:, None, :]
+    nol = saturate_dot(nc[:, None, :], dirs_c)
+    geom = brdf_geometry(nov, nol, rough_c[:, None, :], cfg.geometry_type)
+    noh = saturate_dot(nc[:, None, :], h.astype(cdt))
+    dist = distribution_ggx(noh, rough_c[:, None, :])
     spec_w = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
-    specular_colors = jnp.mean(spec_w * lights / jnp.maximum(prob, EPS), 1)
+    specular_colors = jnp.mean(spec_w * lights_c / prob_c, 1,
+                               dtype=jnp.float32)
 
     colors = linear_to_srgb(diffuse_colors + specular_colors)
-    light_hit_f = light_hit[..., None].astype(pts.dtype)
+    light_hit_f = light_hit[..., None].astype(cdt)
     outputs: Dict[str, Any] = {
         'albedo': albedo,
         'normal': (normals + 1.0) / 2.0,
@@ -655,16 +703,18 @@ def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
         'specular_light': jnp.clip(linear_to_srgb(jnp.mean(lights, 1)), 0, 1),
         'diffuse_color': jnp.clip(linear_to_srgb(diffuse_colors), 0, 1),
         'specular_color': jnp.clip(linear_to_srgb(specular_colors), 0, 1),
-        'visibility': 1.0 - jnp.mean(light_hit_f, 1),
-        'indirect_light': jnp.mean(lights * light_hit_f, 1),
+        'visibility': 1.0 - jnp.mean(light_hit_f, 1, dtype=jnp.float32),
+        'indirect_light': jnp.mean(lights_c * light_hit_f, 1,
+                                   dtype=jnp.float32),
     }
     outputs['approximate_light'] = jnp.clip(
-        linear_to_srgb(jnp.mean(kd * lights, 1)
+        linear_to_srgb(jnp.mean(kd * lights_c, 1, dtype=jnp.float32)
                        + outputs['specular_color']), 0, 1)
 
-    fx = (diffuse_w + spec_w) * lights
+    fx = (diffuse_w + spec_w) * lights_c
     outputs['variance'] = jnp.var(
-        jnp.mean(fx, -1, keepdims=True) / jnp.maximum(prob, EPS))
+        jnp.mean(fx, -1, keepdims=True, dtype=jnp.float32)
+        / jnp.maximum(prob, EPS))
     if (phase.nis_loss_diffuse or phase.nis_loss_specular) \
             and cfg.use_nis_all:
         phi = angles_half[..., 0:1]
@@ -674,12 +724,10 @@ def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
         _, logqx_ = flow_mod.flow_log_density(
             params['flow_all'], fcfg, pts, aabb, view_angles01, roughness,
             x)
-        h_all = safe_normalize(view_dirs[:, None, :] + directions)
-        hov_all = saturate_dot(h_all, view_dirs[:, None, :])
         logqx = logqx_ - jnp.log(jnp.maximum(
-            4 * np.pi ** 2 * hov_all * jnp.sin(theta), EPS))
+            4 * np.pi ** 2 * hov * jnp.sin(theta), EPS))
         outputs['loss_nis'] = -jnp.mean(
-            fx * logqx / jnp.maximum(prob, EPS))
+            fx.astype(jnp.float32) * logqx / jnp.maximum(prob, EPS))
     else:
         outputs['loss_nis'] = jnp.zeros(())
     return colors, outputs

@@ -44,7 +44,10 @@ def build_params_and_cfg(z):
         use_nis_all=False, use_nis_diffuse=False, use_nis_specular=False,
         random_azimuth=False,
         grid_size=(32, 32, 32), inner_light_budget=0.0,
-        secondary_budget=0.0)
+        secondary_budget=0.0,
+        # the torch oracle is f32; the production bf16 estimator chains
+        # are covered by their own tolerance test (test_mc_estimator)
+        estimator_dtype='f32')
     params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg)
     # reference plane [1,C,g0,g1] sampled with u=xyz[m0] along axis 3 and
     # v=xyz[m1] along axis 2 (dr.texture u->W); ours is [g_m0, g_m1, C]
