@@ -148,7 +148,13 @@ def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
     """One trilinear tap per point from pack_cell_rows rows.
 
     Returns value [N] (1.0 outside the aabb) and, if want_grad, the
-    world-space gradient [N,3] of the interpolant."""
+    world-space gradient [N,3] of the interpolant.
+
+    Interpolates by successive axis lerps instead of materializing [N,8]
+    corner weights: the weight build escaped XLA's gather fusion as a
+    standalone f32[N,8] concatenate (+0.35ms/tap at 1.57M rays in the
+    round-4 stage-2 trace) and the lerp chain shrinks [N,8] -> [N,4] ->
+    [N,2] -> [N,1] instead, fusing into the gather."""
     r = rows4.shape[0]
     lo, hi = aabb[0], aabb[1]
     u = (pts - lo) / (hi - lo)
@@ -159,13 +165,24 @@ def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
     idx = (b[:, 0] * r + b[:, 1]) * r + b[:, 2]
     row = jnp.take(rows4.reshape(-1, 8), idx, axis=0,
                    mode='clip').astype(jnp.float32)
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    # lane order (dx*2+dy)*2+dz: z pairs are lane-adjacent
+    z0, z1 = row[:, 0::2], row[:, 1::2]                 # [N,4] (dx,dy)
+    cz = z0 + (z1 - z0) * fz
+    y0, y1 = cz[:, 0::2], cz[:, 1::2]                   # [N,2] (dx)
+    cy = y0 + (y1 - y0) * fy
+    val = (cy[:, 0] + (cy[:, 1] - cy[:, 0]) * fx[:, 0])
+    val = jnp.where(inside, val, 1.0)
     if not want_grad:
-        w, _ = corner_weights(f)
-        return jnp.where(inside, jnp.sum(row * w, -1), 1.0)
-    w, dw = corner_weights(f)
-    val = jnp.where(inside, jnp.sum(row * w, -1), 1.0)
+        return val
+    dz = z1 - z0                                        # d/dfz, [N,4]
+    dz_y = dz[:, 0::2] + (dz[:, 1::2] - dz[:, 0::2]) * fy
+    gz = dz_y[:, 0] + (dz_y[:, 1] - dz_y[:, 0]) * fx[:, 0]
+    dy = cz[:, 1::2] - cz[:, 0::2]                      # d/dfy, [N,2]
+    gy = dy[:, 0] + (dy[:, 1] - dy[:, 0]) * fx[:, 0]
+    gx = cy[:, 1] - cy[:, 0]
     scale = (r - 1.0) / (hi - lo)                       # [3]
-    grad = jnp.sum(row[:, :, None] * dw, 1) * scale
+    grad = jnp.stack([gx, gy, gz], -1) * scale
     return val, grad
 
 

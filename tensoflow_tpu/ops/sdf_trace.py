@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .grid import (trilinear_sample_3d, pack_cell_rows,
-                   corner_weights, packed_trilinear_tap)
+                   packed_trilinear_tap)
 
 MISS_DEPTH = 10.0
 
@@ -295,24 +295,27 @@ def block_tap(pg: PackedSDFGrid, pts, want_grad: bool = False):
     wx, gx = _hat_axis(locf[:, 0:1], want_grad)
     wy, gy = _hat_axis(locf[:, 1:2], want_grad)
     wz, gz = _hat_axis(locf[:, 2:3], want_grad)
-    w = (wx[:, :, None, None] * wy[:, None, :, None]
-         * wz[:, None, None, :]).reshape(-1, 64)
-    val = jnp.where(inside, jnp.sum(rw * w, -1), 1.0)
+    # factored per-axis contraction [N,64]->[N,16]->[N,4]->[N] instead of
+    # materializing four [N,64] weight outer products: cuts the dominant
+    # 64-wide vector-op count ~3x (the two block-tap fusions were 12.8
+    # ns/row vs the 1.86 ns/row gather floor in the round-4 trace) and
+    # drops the standalone f32[N,64] reshapes that escaped the fusion
+    rwb = rw.reshape(-1, 4, 16)
+    a = jnp.sum(rwb * wx[:, :, None], 1)                     # [N,16] (y,z)
+    ab = a.reshape(-1, 4, 4)
+    bv = jnp.sum(ab * wy[:, :, None], 1)                     # [N,4]  (z)
+    val = jnp.where(inside, jnp.sum(bv * wz, -1), 1.0)
     if not want_grad:
         return val, None
     scale = (r - 1.0) / (hi - lo)                            # [3]
-    gxw = (gx[:, :, None, None] * wy[:, None, :, None]
-           * wz[:, None, None, :]).reshape(-1, 64)
-    gyw = (wx[:, :, None, None] * gy[:, None, :, None]
-           * wz[:, None, None, :]).reshape(-1, 64)
-    gzw = (wx[:, :, None, None] * wy[:, None, :, None]
-           * gz[:, None, None, :]).reshape(-1, 64)
-    grad = jnp.stack([jnp.sum(rw * gxw, -1), jnp.sum(rw * gyw, -1),
-                      jnp.sum(rw * gzw, -1)], -1) * scale
+    ax = jnp.sum(rwb * gx[:, :, None], 1).reshape(-1, 4, 4)  # d/dx chain
+    gxv = jnp.sum(jnp.sum(ax * wy[:, :, None], 1) * wz, -1)
+    gyv = jnp.sum(jnp.sum(ab * gy[:, :, None], 1) * wz, -1)
+    gzv = jnp.sum(bv * gz, -1)
+    grad = jnp.stack([gxv, gyv, gzv], -1) * scale
     return val, grad
 
 
-_corner_weights = corner_weights
 _packed_tap = packed_trilinear_tap
 
 
@@ -501,7 +504,10 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
                         h_min: float = 0.12) -> CompactSecondary:
     """Budgeted two-phase secondary trace (see module comment above).
 
-    m: static refinement budget (slots).  h0: optional [N] cosine between
+    m: static refinement budget (slots).  (n_polish=1 was measured and
+    rejected: hit verdicts stay identical and d97 is still 20x under the
+    mid cell, but ~8%% of hit normals drift past 8 degrees vs the dense
+    trace, with occasional sign flips near tangency.)  h0: optional [N] cosine between
     the ray and the launch-surface normal (rays originate ON the traced
     surface).  With h0 the launch shell is crossed ANALYTICALLY — the
     surface is locally its tangent plane, so the ray clears the
