@@ -512,8 +512,10 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     nov = saturate_dot(nc, vc)[:, None, :]
     nol = saturate_dot(nc[:, None, :], sd_c)
     geom = brdf_geometry(nov, nol, rough_c[:, None, :], cfg.geometry_type)
-    noh = saturate_dot(nc[:, None, :], h_spec.astype(cdt))
-    dist = distribution_ggx(noh, rough_c[:, None, :])
+    # GGX NDF stays f32: the denom noh^2*(a2-1)+1 catastrophically cancels
+    # in bf16 at low roughness (importance-sampled noh -> 1, alpha^2 ~ 1e-6)
+    noh = saturate_dot(normals[:, None, :], h_spec)
+    dist = distribution_ggx(noh, roughness[:, None, :]).astype(cdt)
 
     # ONE batched secondary-ray pass for diffuse + specular: the trace's
     # fori_loops carry ~40% non-gather overhead per phase (round-3
@@ -686,8 +688,9 @@ def shade_mixed_all(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     nov = saturate_dot(nc, vc)[:, None, :]
     nol = saturate_dot(nc[:, None, :], dirs_c)
     geom = brdf_geometry(nov, nol, rough_c[:, None, :], cfg.geometry_type)
-    noh = saturate_dot(nc[:, None, :], h.astype(cdt))
-    dist = distribution_ggx(noh, rough_c[:, None, :])
+    # f32 NDF: bf16 cancels in the denom at low roughness (see shade_mixed)
+    noh = saturate_dot(normals[:, None, :], h)
+    dist = distribution_ggx(noh, roughness[:, None, :]).astype(cdt)
     spec_w = dist * fresnel * geom / jnp.maximum(4.0 * nov, EPS)
     specular_colors = jnp.mean(spec_w * lights_c / prob_c, 1,
                                dtype=jnp.float32)

@@ -127,23 +127,6 @@ def pack_cell_rows(values, dtype):
     return jnp.stack(corners, axis=-1).astype(dtype)
 
 
-def corner_weights(f):
-    """f [N,3] in-cell fractions -> [N,8] trilinear corner weights plus
-    the [N,8,3] weight gradients d w / d f (for analytic normals)."""
-    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
-    w, dw = [], []
-    for dx in (0, 1):
-        wx, gx = (fx, 1.0) if dx else (1.0 - fx, -1.0)
-        for dy in (0, 1):
-            wy, gy = (fy, 1.0) if dy else (1.0 - fy, -1.0)
-            for dz in (0, 1):
-                wz, gz = (fz, 1.0) if dz else (1.0 - fz, -1.0)
-                w.append(wx * wy * wz)
-                dw.append(jnp.concatenate(
-                    [gx * wy * wz, wx * gy * wz, wx * wy * gz], -1))
-    return jnp.concatenate(w, -1), jnp.stack(dw, 1)
-
-
 def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
     """One trilinear tap per point from pack_cell_rows rows.
 

@@ -169,3 +169,37 @@ def test_one_field_pack_per_step():
     # (packing cost ~12ms/field/step served a few thousand gathers;
     # round-2's one-pack-per-field invariant is superseded)
     assert len(counts) == 0, counts
+
+
+@pytest.mark.parametrize('alpha', [0.04 ** 2, 0.01])
+def test_bf16_estimator_low_roughness(setup, alpha):
+    """bf16 estimator chain vs f32 at glossy (low-alpha) roughness.
+
+    Regression for the bf16 GGX NDF cancellation: the denom
+    noh^2*(a2-1)+1 cancels catastrophically in bf16 when importance
+    sampling drives noh -> 1 and a2 ~ 1e-6 (62% of D evals off by >2x at
+    the predict_materials floor before the NDF was pinned to f32)."""
+    cfg, params, grid = setup
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    rng = np.random.RandomState(3)
+    n = 16
+    normals = rng.randn(n, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    view = normals + 0.3 * rng.randn(n, 3).astype(np.float32)
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    pts = (0.1 * rng.randn(n, 3)).astype(np.float32)
+    metallic = jnp.full((n, 1), 0.9)
+    roughness = jnp.full((n, 1), alpha)
+    albedo = jnp.full((n, 3), 0.8)
+
+    outs = {}
+    for dt in ('f32', 'bf16'):
+        c = cfg._replace(estimator_dtype=dt)
+        colors, o = mc_shading.shade_mixed(
+            params, c, grid, 2.0 / 127, aabb, jnp.asarray(pts),
+            jnp.asarray(normals), jnp.asarray(view), metallic, roughness,
+            albedo, mc_shading.ShadePhase(), jax.random.PRNGKey(4), False)
+        outs[dt] = np.asarray(srgb_to_linear(o['specular_color']))
+    assert np.isfinite(outs['bf16']).all()
+    np.testing.assert_allclose(outs['bf16'], outs['f32'],
+                               rtol=0.12, atol=2e-3)
