@@ -133,11 +133,14 @@ def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
     Returns value [N] (1.0 outside the aabb) and, if want_grad, the
     world-space gradient [N,3] of the interpolant.
 
-    Interpolates by successive axis lerps instead of materializing [N,8]
-    corner weights: the weight build escaped XLA's gather fusion as a
-    standalone f32[N,8] concatenate (+0.35ms/tap at 1.57M rays in the
-    round-4 stage-2 trace) and the lerp chain shrinks [N,8] -> [N,4] ->
-    [N,2] -> [N,1] instead, fusing into the gather."""
+    Interpolates by lane-aligned multiply+reduce with weights built from
+    a lane iota: the earlier axis-lerp chain sliced the gather output at
+    lane stride 2 (``row[:, 0::2]``), and XLA lowered every such slice as
+    ~48 chunked f32[4,32768]-transposed fusions plus relayout copies —
+    2376 sub-ms fusions + ~3600 copies ~= 58 ms/step at stage-2 bench
+    scale (round-5 trace).  The iota-mask weight form is pure
+    lane-aligned elementwise + an 8-lane reduce, which fuses into the
+    gather's consumer."""
     r = rows4.shape[0]
     lo, hi = aabb[0], aabb[1]
     u = (pts - lo) / (hi - lo)
@@ -149,21 +152,23 @@ def packed_trilinear_tap(rows4, aabb, pts, want_grad: bool = False):
     row = jnp.take(rows4.reshape(-1, 8), idx, axis=0,
                    mode='clip').astype(jnp.float32)
     fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
-    # lane order (dx*2+dy)*2+dz: z pairs are lane-adjacent
-    z0, z1 = row[:, 0::2], row[:, 1::2]                 # [N,4] (dx,dy)
-    cz = z0 + (z1 - z0) * fz
-    y0, y1 = cz[:, 0::2], cz[:, 1::2]                   # [N,2] (dx)
-    cy = y0 + (y1 - y0) * fy
-    val = (cy[:, 0] + (cy[:, 1] - cy[:, 0]) * fx[:, 0])
+    # lane order (dx*2+dy)*2+dz
+    lane = np.arange(8)
+    sx = jnp.asarray((lane >> 2) & 1, row.dtype)
+    sy = jnp.asarray((lane >> 1) & 1, row.dtype)
+    sz = jnp.asarray(lane & 1, row.dtype)
+    wx = (1.0 - fx) + sx * (2.0 * fx - 1.0)             # [N,8]
+    wy = (1.0 - fy) + sy * (2.0 * fy - 1.0)
+    wz = (1.0 - fz) + sz * (2.0 * fz - 1.0)
+    ryz = row * wy * wz
+    val = jnp.sum(ryz * wx, -1)
     val = jnp.where(inside, val, 1.0)
     if not want_grad:
         return val
-    dz = z1 - z0                                        # d/dfz, [N,4]
-    dz_y = dz[:, 0::2] + (dz[:, 1::2] - dz[:, 0::2]) * fy
-    gz = dz_y[:, 0] + (dz_y[:, 1] - dz_y[:, 0]) * fx[:, 0]
-    dy = cz[:, 1::2] - cz[:, 0::2]                      # d/dfy, [N,2]
-    gy = dy[:, 0] + (dy[:, 1] - dy[:, 0]) * fx[:, 0]
-    gx = cy[:, 1] - cy[:, 0]
+    gx = jnp.sum(ryz * (2.0 * sx - 1.0), -1)            # d/dfx
+    rx = row * wx
+    gy = jnp.sum(rx * wz * (2.0 * sy - 1.0), -1)        # d/dfy
+    gz = jnp.sum(rx * wy * (2.0 * sz - 1.0), -1)        # d/dfz
     scale = (r - 1.0) / (hi - lo)                       # [3]
     grad = jnp.stack([gx, gy, gz], -1) * scale
     return val, grad
