@@ -58,7 +58,11 @@ def build_setup(rays: int = 2048):
         'train_ray_num': rays, 'isMaterial': True,
         'shader_cfg': {'outer_light_version': 'envlight'},
     })
-    geo_kwargs = {'grid_size': [128, 128, 128], 'sdf_n_comp': 36,
+    # geo grid_size mirrors the reference's stage-2 geometry (the shape
+    # stage ends at 512^3, configs/shape/syn/compressor_occ.yaml:61-64);
+    # it only enters the step through unit_size (launch offsets + the
+    # vis-cache apex pad)
+    geo_kwargs = {'grid_size': [512, 512, 512], 'sdf_n_comp': 36,
                   'sdf_dim': 256, 'app_dim': 128, 'n_levels': 1,
                   'aabb': [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]}
     rcfg = build_material_config(cfg, geo_kwargs)
@@ -70,6 +74,9 @@ def build_setup(rays: int = 2048):
     grid = sdf_trace.pack_sdf_grid(sdf_trace.SDFGrid(
         values=jnp.asarray(vals),
         aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3])))
+    if 0.0 < rcfg.shader.a1_budget < 1.0:
+        from tensoflow_tpu.models.material_renderer import unit_size as us_of
+        grid = sdf_trace.bake_vis_cache(grid, apex_pad=2.0 * us_of(rcfg))
 
     # surface points + analytic normals on both lobes (the precomputed
     # hit batch the reference's trainer slices, materialRenderer.py:540)
@@ -165,12 +172,14 @@ def run():
         h0 = jnp.sum(d * jnp.broadcast_to(n[:, None, :],
                                           dirs.shape).reshape(-1, 3), -1)
         res = sdf_trace.sphere_trace_budget(
-            grid, o, d, m=int(rays * sn * scfg.secondary_budget), h0=h0)
+            grid, o, d, m=int(rays * sn * scfg.secondary_budget), h0=h0,
+            a1_budget=scfg.a1_budget)
         return (jnp.mean(res.cand.astype(jnp.float32)),
                 jnp.sum((res.hit_m & res.slot_mask).astype(jnp.float32))
-                / res.dest.shape[0])
+                / res.dest.shape[0],
+                jnp.mean(res.a1_need.astype(jnp.float32)))
 
-    cand_rate, hit_rate = rates(grid, batch, jax.random.PRNGKey(7))
+    cand_rate, hit_rate, a1_rate = rates(grid, batch, jax.random.PRNGKey(7))
 
     # size the refinement budget the way the production trainer does
     # (trainer_mat._adapt_secondary_budget buckets on the live candidate
@@ -183,8 +192,14 @@ def run():
     bucket_h = next((b for b in tm.INNER_BUDGET_BUCKETS
                      if b >= float(hit_rate) * tm.INNER_BUDGET_MARGIN),
                     tm.INNER_BUDGET_BUCKETS[-1])
+    bucket_a = scfg.a1_budget
+    if 0.0 < scfg.a1_budget < 1.0:
+        bucket_a = next((b for b in tm.A1_BUDGET_BUCKETS
+                         if b >= float(a1_rate) * tm.A1_BUDGET_MARGIN),
+                        tm.A1_BUDGET_BUCKETS[-1])
     rcfg = rcfg._replace(shader=scfg._replace(secondary_budget=bucket,
-                                              inner_light_budget=bucket_h))
+                                              inner_light_budget=bucket_h,
+                                              a1_budget=bucket_a))
     scfg = rcfg.shader
 
     build = make_step_fn(cfg, rcfg, phase)
@@ -218,6 +233,8 @@ def run():
         'secondary_hit_rate': round(float(hit_rate), 3),
         'secondary_budget_bucket': bucket,
         'inner_light_budget_bucket': bucket_h,
+        'secondary_a1_rate': round(float(a1_rate), 3),
+        'a1_budget_bucket': bucket_a,
     }
     try:
         import bench

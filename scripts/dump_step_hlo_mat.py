@@ -25,6 +25,14 @@ def main():
     from tensoflow_tpu.train import losses
 
     cfg, rcfg, grid, params, batch = bench_material.build_setup()
+    # mirror the bench's adapted buckets so %op names line up with the
+    # bench trace (the build_setup defaults compile a different program)
+    import json
+    buckets = json.loads(os.environ.get(
+        'DUMP_BUCKETS',
+        '{"secondary_budget": 0.25, "inner_light_budget": 0.0625, '
+        '"a1_budget": 0.25}'))
+    rcfg = rcfg._replace(shader=rcfg.shader._replace(**buckets))
     weights = losses.schedule_weights(cfg, 2000)
     phase = mc_shading.ShadePhase(nis_loss_diffuse=True,
                                   nis_loss_specular=True)

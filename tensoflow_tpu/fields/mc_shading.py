@@ -85,6 +85,13 @@ class MCShadingConfig(NamedTuple):
     # 0 or >=1 = trace every ray at full fidelity (the round-3 path).
     # The trainer adapts this to the measured candidate rate.
     secondary_budget: float = 0.375
+    # fraction of secondary rays budgeted for the COARSE march (phase A1)
+    # when the packed grid carries a baked direction-binned visibility
+    # cache (sdf_trace.bake_vis_cache): cache-certified rays skip the
+    # march entirely and only the uncertain rest is marched, compacted to
+    # this budget.  0 or >=1 = dense march (no cache use).  The trainer
+    # adapts this to the measured a1 rate.
+    a1_budget: float = 0.625
 
     # material field
     mat_n_comp: int = 36
@@ -310,9 +317,37 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
         # non-differentiable like the reference's CUDA raytracer
         # (materialRenderer.py:223) — stop_gradient the ray geometry in.
         m = max((int(n_rays * cfg.secondary_budget) // 128) * 128, 128)
+        vis_flat = None
+        # per-point cache rows are only sound when the bake reserved an
+        # apex pad covering the 2*unit_size ray-direction offset (the
+        # trace itself falls back to per-ray rows otherwise, which only
+        # need the always-reserved half-cell apex margin)
+        pad_ok = (isinstance(unit_size, (int, float))
+                  and 2.0 * float(unit_size) <= grid.vis_pad + 1e-9)
+        if (grid.vis_rows is not None and normals is not None
+                and points.ndim == 3 and pad_ok
+                and 0.0 < cfg.a1_budget < 1.0):
+            # ONE visibility-cache row per surface point (all of a
+            # point's sn rays share the launch cell; the bake pads the
+            # apex margin for the 2*unit_size direction offset) — a
+            # per-ray u32 row gather runs from HBM at ~10.5ns/row
+            # (16.6ms/step at bench scale) while this [pn,8] gather is
+            # free and the broadcast fuses into the bit-select
+            rv = grid.vis_rows.shape[0]
+            lo_g, hi_g = grid.aabb[0], grid.aabb[1]
+            base = points[:, 0, :] + 1.5 * m_cell * normals
+            u01 = jnp.clip((base - lo_g) / (hi_g - lo_g), 0.0, 1.0)
+            ci = jnp.clip(jnp.round(u01 * (rv - 1)).astype(jnp.int32),
+                          0, rv - 1)
+            flat_i = (ci[:, 0] * rv + ci[:, 1]) * rv + ci[:, 2]
+            vrow_pt = jnp.take(grid.vis_rows.reshape(-1, 8), flat_i,
+                               axis=0, mode='clip')           # [pn,8]
+            vis_flat = jnp.broadcast_to(
+                vrow_pt[:, None, :], shape + (8,)).reshape(-1, 8)
         res = sdf_trace.sphere_trace_budget(
             grid, o_trace, jax.lax.stop_gradient(d), m,
-            h0=None if h0 is None else jax.lax.stop_gradient(h0))
+            h0=None if h0 is None else jax.lax.stop_gradient(h0),
+            a1_budget=cfg.a1_budget, vis_rows_flat=vis_flat)
         if stats is not None:
             # diagnostics for the trainer's adaptive budget (no host sync
             # here — fetched with the regular log/adapt cadence)
@@ -320,6 +355,8 @@ def get_lights(params, cfg: MCShadingConfig, grid: sdf_trace.SDFGrid,
                 res.cand.astype(jnp.float32))
             stats['secondary_hit_rate'] = jnp.sum(
                 (res.hit_m & res.slot_mask).astype(jnp.float32)) / n_rays
+            stats['secondary_a1_rate'] = jnp.mean(
+                res.a1_need.astype(jnp.float32))
         from ..ops.grid import (compact_indices, compact_take,
                                 scatter_back)
         if 0.0 < cfg.inner_light_budget < 1.0:
@@ -470,19 +507,23 @@ def shade_mixed(params, cfg: MCShadingConfig, grid, unit_size, aabb,
     hov_diff = saturate_dot(h_diff, view_dirs[:, None, :])
 
     # ---------------- specular sampling ----------------
-    stable = jnp.asarray(direction_samples_01(cfg.specular_sample_num))
-    az_rng_s = k_sa if (is_train and cfg.random_azimuth) else None
-    s_dirs2, s_angles2, s_prob2, s_half2 = sample_specular_directions(
-        stable, normals, view_dirs, roughness, az_rng_s)
+    # NOTE: unlike the diffuse branch (flow + analytic CONCAT,
+    # ref fields.py:1115-1120), the reference REPLACES the analytic GGX
+    # specular samples with the flow samples when the specular flow copy
+    # is live (ref fields.py:1160-1206: the `else` holds the analytic
+    # sampler) — round-5 NIS renderer-parity fixture caught the concat
+    # variant drifting ~12% on rgb
     if phase.nis_sample_specular:
         sn = cfg.nis_specular_sample_num
         s_dirs1, s_angles1, s_prob1, s_half1, s_hov1 = _flow_sample_halfvec(
             flow_specular_copy, fcfg, k_s, pts, aabb, view_angles01,
             roughness, normals, view_dirs, sn, is_train)
-        spec_dirs = jnp.concatenate([s_dirs1, s_dirs2], 1)
-        spec_prob = jnp.concatenate([s_prob1, s_prob2], 1)
-        spec_half = jnp.concatenate([s_half1, s_half2], 1)
+        spec_dirs, spec_prob, spec_half = s_dirs1, s_prob1, s_half1
     else:
+        stable = jnp.asarray(direction_samples_01(cfg.specular_sample_num))
+        az_rng_s = k_sa if (is_train and cfg.random_azimuth) else None
+        s_dirs2, s_angles2, s_prob2, s_half2 = sample_specular_directions(
+            stable, normals, view_dirs, roughness, az_rng_s)
         spec_dirs, spec_prob, spec_half = s_dirs2, s_prob2, s_half2
     spec_num = spec_dirs.shape[1]
 

@@ -80,7 +80,15 @@ def bake_geometry(geo_params, cfg: MaterialRendererConfig):
         sdf_fun_of(geo_params, cfg), cfg.aabb, cfg.bake_resolution)
     if not cfg.trace_packed:
         return dense
-    return sdf_trace.pack_sdf_grid(dense)
+    pg = sdf_trace.pack_sdf_grid(dense)
+    if 0.0 < cfg.shader.a1_budget < 1.0:
+        # direction-binned visibility cache: one-time cone-march bake
+        # (geometry is frozen in stage 2); certified rays skip the
+        # coarse march in sphere_trace_budget.  The apex pad reserves
+        # the 2*unit_size launch offset so get_lights can key ONE cache
+        # row per surface point.
+        pg = sdf_trace.bake_vis_cache(pg, apex_pad=2.0 * unit_size(cfg))
+    return pg
 
 
 def near_far_from_sphere(rays_o, rays_d, radius: float):

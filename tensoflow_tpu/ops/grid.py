@@ -362,8 +362,13 @@ def compact_indices(valid_flat, m: int):
     pos = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1
     keep = valid_flat & (pos < m)
     dest = jnp.where(keep, pos, m)
-    src = jnp.zeros((m,), jnp.int32).at[dest].set(
-        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    # src via sort (keys unique on kept rows, so stability is moot): the
+    # .at[dest].set(iota) scatter build this replaces measured 13.6ms vs
+    # 8.0ms isolated at 1.57M rows on TPU (scripts/microbench_compact_r5)
+    keys = jnp.where(keep, dest, jnp.int32(n + 1))
+    _, src_full = jax.lax.sort_key_val(keys,
+                                       jnp.arange(n, dtype=jnp.int32))
+    src = src_full[:m]
     n_valid = jnp.minimum(jnp.sum(valid_flat.astype(jnp.int32)), m)
     slot_mask = jnp.arange(m) < n_valid
     return src, slot_mask, dest

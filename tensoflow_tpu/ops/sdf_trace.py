@@ -204,20 +204,32 @@ class PackedSDFGrid:
     ``reso`` (static aux) is the full node resolution R.
     """
 
-    def __init__(self, mid_rows, blocks, coarse_rows, aabb, reso: int):
+    def __init__(self, mid_rows, blocks, coarse_rows, aabb, reso: int,
+                 vis_rows=None, vis_pad: float = 0.0):
         self.mid_rows = mid_rows
         self.blocks = blocks
         self.coarse_rows = coarse_rows
         self.aabb = aabb
         self.reso = int(reso)
+        # optional [Rc^3, 8] u32 direction-binned visibility cache
+        # (bake_vis_cache): bit (cell, bin) == 1 certifies that every ray
+        # launching from the cell along the bin's cone is clear of the
+        # surface over [T0, exit] — see sphere_trace_budget.  vis_pad is
+        # the extra apex margin (world units) the bake reserved for
+        # keying the cache row on the PRE-OFFSET surface point
+        # (get_lights' per-point row path needs 2*unit_size <= vis_pad).
+        self.vis_rows = vis_rows
+        self.vis_pad = float(vis_pad)
 
     def tree_flatten(self):
-        return ((self.mid_rows, self.blocks, self.coarse_rows, self.aabb),
-                self.reso)
+        return ((self.mid_rows, self.blocks, self.coarse_rows, self.aabb,
+                 self.vis_rows), (self.reso, self.vis_pad))
 
     @classmethod
-    def tree_unflatten(cls, reso, children):
-        return cls(*children, reso)
+    def tree_unflatten(cls, aux, children):
+        reso, vis_pad = aux if isinstance(aux, tuple) else (aux, 0.0)
+        return cls(children[0], children[1], children[2], children[3],
+                   reso, vis_rows=children[4], vis_pad=vis_pad)
 
     @property
     def resolution(self) -> int:
@@ -263,6 +275,155 @@ def pack_sdf_grid(grid: SDFGrid, coarse_factor: int = 4,
     return PackedSDFGrid(mid_rows=mid_rows, blocks=blocks,
                          coarse_rows=coarse_rows,
                          aabb=jnp.asarray(grid.aabb, jnp.float32), reso=r)
+
+
+def _trace_scales(pg: "PackedSDFGrid"):
+    """Static (python-float) trace geometry scales shared by
+    sphere_trace_budget and bake_vis_cache — the bake's certified
+    interval [T0, exit] must match the trace's corridor split exactly."""
+    aabb = np.asarray(jax.device_get(pg.aabb), np.float64) \
+        if not isinstance(pg.aabb, np.ndarray) else pg.aabb
+    ext_mean = float(np.mean(aabb[1] - aabb[0]))
+    rm = pg.mid_rows.shape[0]
+    rc = pg.coarse_rows.shape[0]
+    m_cell = ext_mean / (rm - 1)
+    c_cell = ext_mean / (rc - 1)
+    c_diag = float(np.sqrt(3.0)) * c_cell
+    switch = c_diag + 2.0 * m_cell
+    arm = 1.25 * switch
+    delta = 1.5 * m_cell
+    t0_max = 2.0 * (arm - delta)      # T0: max launch-corridor length
+    return dict(ext_mean=ext_mean, m_cell=m_cell, c_cell=c_cell,
+                c_diag=c_diag, switch=switch, arm=arm, delta=delta,
+                t0_max=t0_max)
+
+
+# ---------------------------------------------------------------------------
+# direction-binned visibility cache (bake once at stage-2 init)
+# ---------------------------------------------------------------------------
+
+VIS_NB = 16                     # octahedral bins per axis (16x16 = 256)
+
+
+def octa_bin(d, nb: int = VIS_NB):
+    """[...,3] directions -> octahedral bin id in [0, nb*nb)."""
+    s = jnp.sum(jnp.abs(d), -1, keepdims=True)
+    p = d / jnp.maximum(s, 1e-12)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    fx = (1.0 - jnp.abs(py)) * jnp.sign(px)
+    fy = (1.0 - jnp.abs(px)) * jnp.sign(py)
+    u = jnp.where(pz < 0, fx, px)
+    v = jnp.where(pz < 0, fy, py)
+    iu = jnp.clip(((u * 0.5 + 0.5) * nb).astype(jnp.int32), 0, nb - 1)
+    iv = jnp.clip(((v * 0.5 + 0.5) * nb).astype(jnp.int32), 0, nb - 1)
+    return iv * nb + iu
+
+
+def _octa_decode_np(u, v):
+    """Octahedral uv in [-1,1]^2 -> unit directions (numpy)."""
+    z = 1.0 - np.abs(u) - np.abs(v)
+    x = np.where(z < 0, (1.0 - np.abs(v)) * np.sign(u), u)
+    y = np.where(z < 0, (1.0 - np.abs(u)) * np.sign(v), v)
+    d = np.stack([x, y, z], -1)
+    return d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+
+
+def _octa_bin_table(nb: int = VIS_NB):
+    """Per-bin (center direction [nb*nb,3], conservative chord [nb*nb])
+    where chord >= |d - center| for every unit d binned into the bin.
+    Estimated from a dense 16x-oversampled direction grid."""
+    cu = (np.arange(nb) + 0.5) / nb * 2.0 - 1.0
+    uu, vv = np.meshgrid(cu, cu, indexing='xy')
+    centers = _octa_decode_np(uu.reshape(-1), vv.reshape(-1))  # iv*nb+iu
+
+    f = 16 * nb
+    su = (np.arange(f) + 0.5) / f * 2.0 - 1.0
+    gu, gv = np.meshgrid(su, su, indexing='xy')
+    dirs = _octa_decode_np(gu.reshape(-1), gv.reshape(-1))
+    iu = np.clip(((gu.reshape(-1) * 0.5 + 0.5) * nb).astype(np.int32),
+                 0, nb - 1)
+    iv = np.clip(((gv.reshape(-1) * 0.5 + 0.5) * nb).astype(np.int32),
+                 0, nb - 1)
+    bins = iv * nb + iu
+    chord = np.linalg.norm(dirs - centers[bins], axis=-1)
+    cmax = np.zeros(nb * nb, np.float64)
+    np.maximum.at(cmax, bins, chord)
+    return centers.astype(np.float32), (cmax * 1.05 + 1e-3).astype(
+        np.float32)
+
+
+def bake_vis_cache(pg: "PackedSDFGrid", nb: int = VIS_NB,
+                   n_steps: int = 16,
+                   apex_pad: float = 0.0) -> "PackedSDFGrid":
+    """Bake the per-cell direction-binned visibility cache.
+
+    For every coarse NODE c and octa bin b, cone-march the coarse grid
+    from t = T0 to past the aabb exit along the bin's center direction
+    with margin(t) = 0.5*c_diag (apex offset: any launch origin binned to
+    the node is within half a coarse cell) + t*chord_b (bin angular
+    width) + 0.25*c_diag (interpolant error, same convention as the A0
+    probe).  Bit == 1 certifies every ray in the (node, bin) cone misses
+    the surface over [T0, its aabb exit]; 0 means uncertain (the trace
+    falls back to the coarse march).  Runs once at stage-2 init (~2s at
+    64^3 x 256 bins on one TPU chip); geometry is frozen in stage 2.
+    """
+    sc = _trace_scales(pg)
+    rc = pg.coarse_rows.shape[0]
+    lo = pg.aabb[0]
+    hi = pg.aabb[1]
+    ax = jnp.linspace(0.0, 1.0, rc, dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(ax, ax, ax, indexing='ij')
+    nodes01 = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+    nodes = lo + nodes01 * (hi - lo)                       # [rc^3,3]
+
+    centers, chords = _octa_bin_table(nb)
+    # 0.5*c_diag apex offset (origin within half a cell of its node)
+    # + apex_pad (callers reserve 2*unit_size so get_lights may key the
+    # cache row on the PRE-OFFSET surface point, one row per point)
+    # + 0.25*c_diag interpolant error (A0-probe convention)
+    base_margin = 0.75 * sc['c_diag'] + apex_pad
+    c_cap = 12.0 * sc['c_cell']
+    t0 = sc['t0_max']
+    # max t any cone ray can stay inside: node ray exit + one coarse diag
+    coarse = pg.coarse_rows
+
+    def one_bin(carry, xs):
+        del carry
+        dvec, chord = xs
+        t = jnp.full((nodes.shape[0],), t0, jnp.float32)
+        blocked = jnp.zeros((nodes.shape[0],), bool)
+        cleared = jnp.zeros((nodes.shape[0],), bool)
+        for _ in range(n_steps):
+            pos = nodes + dvec * t[:, None]
+            pos_c = jnp.clip(pos, lo, hi)
+            # clamped tap + `out` in the margin keeps the test sound past
+            # the aabb boundary (an un-clamped tap reads 1.0 outside and
+            # would falsely certify rays that re-graze interior geometry)
+            out = jnp.linalg.norm(pos - pos_c, axis=-1)
+            d = packed_trilinear_tap(coarse, pg.aabb, pos_c)
+            margin = base_margin + t * chord + out
+            eff = d - margin
+            # every cone ray is surely outside the aabb: certified exit
+            done_clear = out > (base_margin + t * chord)
+            cleared = cleared | (~blocked & done_clear)
+            blocked = blocked | (~cleared & (eff <= 0.0))
+            step = jnp.clip(eff * 0.9, 0.1 * sc['c_cell'], c_cap)
+            t = jnp.where(blocked | cleared, t, t + step)
+        clear = cleared & ~blocked
+        return 0, clear
+
+    _, bits = jax.lax.scan(one_bin, 0,
+                           (jnp.asarray(centers), jnp.asarray(chords)))
+    # bits [nb*nb, rc^3] -> u32 words [rc^3, 8] (bin = word*32 + bitpos)
+    bits = bits.astype(jnp.uint32).reshape(nb * nb // 32, 32, -1)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(bits * weights[None, :, None], 1,
+                    dtype=jnp.uint32)                       # [8, rc^3]
+    vis_rows = words.T.reshape(rc, rc, rc, 8)
+    return PackedSDFGrid(mid_rows=pg.mid_rows, blocks=pg.blocks,
+                         coarse_rows=pg.coarse_rows, aabb=pg.aabb,
+                         reso=pg.reso, vis_rows=vis_rows,
+                         vis_pad=apex_pad)
 
 
 def _hat_axis(loc, want_grad: bool = False):
@@ -491,6 +652,10 @@ class CompactSecondary(NamedTuple):
     depth_m: jnp.ndarray    # [M] refined depth (miss = MISS_DEPTH)
     cand: jnp.ndarray       # [N] refinement-candidate mask (diagnostics /
     #                         adaptive budget sizing)
+    a1_need: jnp.ndarray    # [N] rays that needed the coarse march (all
+    #                         `clear` rays without a cache; cache-
+    #                         uncertain rays with one) — drives the
+    #                         adaptive a1_budget
 
 
 def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
@@ -501,7 +666,9 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
                         max_dist: float = 4.0,
                         c_cap_cells: float = 12.0,
                         cert_factor: float = 0.6,
-                        h_min: float = 0.12) -> CompactSecondary:
+                        h_min: float = 0.12,
+                        a1_budget: float = 0.0,
+                        vis_rows_flat=None) -> CompactSecondary:
     """Budgeted two-phase secondary trace (see module comment above).
 
     m: static refinement budget (slots).  (n_polish=1 was measured and
@@ -581,31 +748,102 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
         clear = jnp.ones((n,), bool)
         cand0 = jnp.zeros((n,), bool)
 
-    # ---- phase A1: dense coarse classification of the clear rays ----
-    def coarse_body(_, carry):
-        t, near = carry
-        d = _packed_tap(coarse_rows, pg.aabb,
-                        rays_o + rays_d * t[:, None])
-        near_new = near | (d < switch)
-        done = near_new | (t > t_exit)
-        step = jnp.maximum(jnp.minimum(step_scale * d, c_cap) - c_diag,
-                           0.0)
-        t_new = jnp.where(done, t, t + step)
-        return t_new, near_new
+    # ---- phase A-cache: direction-binned visibility certification ----
+    # a baked (cell, octa-bin) bit certifies the cone over [T0, exit];
+    # the A0 probe covers [0, t0] analytically and, when t0 < T0, one
+    # extra margined probe at T0 ball-covers the [t0, T0] gap.  Certified
+    # rays are misses without marching; the rest (cache-uncertain or
+    # tangent) coarse-march COMPACTED into the a1_budget.
+    use_cache = ((pg.vis_rows is not None or vis_rows_flat is not None)
+                 and h0 is not None and 0.0 < a1_budget < 1.0)
+    if use_cache:
+        rc_t0max = 2.0 * (arm - delta)
+        if vis_rows_flat is not None:
+            # caller-supplied rows (get_lights gathers ONE row per
+            # surface point and broadcasts: a per-ray u32 gather from
+            # HBM measured 16.6ms/step vs ~2ms for this select fusion)
+            vrow = vis_rows_flat
+        else:
+            rv = pg.vis_rows.shape[0]
+            lo_, hi_ = pg.aabb[0], pg.aabb[1]
+            u01 = jnp.clip((rays_o - lo_) / (hi_ - lo_), 0.0, 1.0)
+            ci = jnp.clip(jnp.round(u01 * (rv - 1)).astype(jnp.int32),
+                          0, rv - 1)
+            flat = (ci[:, 0] * rv + ci[:, 1]) * rv + ci[:, 2]
+            vrow = jnp.take(pg.vis_rows.reshape(-1, 8), flat, axis=0,
+                            mode='clip')                      # [N,8] u32
+        bins = octa_bin(rays_d)
+        wsel = (bins >> 5).astype(jnp.int32)
+        lane8 = jnp.arange(8, dtype=jnp.int32)
+        word = jnp.sum(jnp.where(lane8[None, :] == wsel[:, None], vrow,
+                                 jnp.uint32(0)), -1, dtype=jnp.uint32)
+        cache_clear = ((word >> (bins & 31).astype(jnp.uint32))
+                       & jnp.uint32(1)) > 0
+        gap = jnp.maximum(rc_t0max - t0, 0.0)
+        d2 = _packed_tap(coarse_rows, pg.aabb,
+                         rays_o + rays_d * rc_t0max) - 0.25 * c_diag
+        corridor = (gap <= 0.0) | (d_probe + jnp.maximum(d2, 0.0) > gap)
+        certified = clear & cache_clear & corridor
+    else:
+        certified = jnp.zeros((n,), bool)
+    need = clear & ~certified
 
-    tc0 = jnp.where(clear, jnp.maximum(t0, t_enter), t_exit + 1.0)
-    carry_c = (tc0, jnp.zeros((n,), bool))
-    for _ in range(n_coarse):            # static count: unroll (see below)
-        carry_c = coarse_body(0, carry_c)
-    t, near = carry_c
-    # candidates: launch-uncertified rays (refine from t=0), plus clear
-    # rays whose coarse march got near the surface or ran out of budget
-    # while still inside the grid (conservative)
-    cand = cand0 | (clear & (near | (t <= t_exit)))
-    t = jnp.where(cand0, 0.0, t)
+    from .grid import compact_indices, scatter_back as _scatter_back
+
+    # ---- phase A1: coarse classification of the un-certified rays ----
+    if use_cache:
+        ma = max((int(n * a1_budget) // 128) * 128, 128)
+        srcA, maskA, destA = compact_indices(need, ma)
+        tc0 = jnp.maximum(t0, t_enter)
+        payA = jnp.concatenate([rays_o, rays_d, tc0[:, None],
+                                t_exit[:, None]], -1)         # [N,8]
+        pA = jnp.take(payA, srcA, axis=0, mode='clip')        # [MA,8]
+        oA, dA = pA[:, 0:3], pA[:, 3:6]
+        tA, txA = pA[:, 6], pA[:, 7]
+        nearA = jnp.zeros((ma,), bool)
+        for _ in range(n_coarse):        # static count: unroll (see below)
+            dd = _packed_tap(coarse_rows, pg.aabb,
+                             oA + dA * tA[:, None])
+            nearA = nearA | (dd < switch)
+            doneA = nearA | (tA > txA)
+            step = jnp.maximum(jnp.minimum(step_scale * dd, c_cap)
+                               - c_diag, 0.0)
+            tA = jnp.where(doneA, tA, tA + step)
+        candA = nearA | (tA <= txA)
+        back = _scatter_back(
+            jnp.stack([tA, candA.astype(tA.dtype)], -1), destA,
+            src=srcA, slot_mask=maskA)                        # [N,2]
+        # budget overflow: un-marched rays become candidates from tc0
+        # (the fine march takes over from the launch corridor —
+        # conservative; rare when the adaptive bucket has margin)
+        overflow = need & (destA >= ma)
+        cand = cand0 | (need & ((back[:, 1] > 0.5) | overflow))
+        t = jnp.where(cand0, 0.0,
+                      jnp.where(overflow, tc0, back[:, 0]))
+    else:
+        def coarse_body(_, carry):
+            t, near = carry
+            d = _packed_tap(coarse_rows, pg.aabb,
+                            rays_o + rays_d * t[:, None])
+            near_new = near | (d < switch)
+            done = near_new | (t > t_exit)
+            step = jnp.maximum(jnp.minimum(step_scale * d, c_cap)
+                               - c_diag, 0.0)
+            t_new = jnp.where(done, t, t + step)
+            return t_new, near_new
+
+        tc0 = jnp.where(need, jnp.maximum(t0, t_enter), t_exit + 1.0)
+        carry_c = (tc0, jnp.zeros((n,), bool))
+        for _ in range(n_coarse):        # static count: unroll (see below)
+            carry_c = coarse_body(0, carry_c)
+        t, near = carry_c
+        # candidates: launch-uncertified rays (refine from t=0), plus
+        # clear rays whose coarse march got near the surface or ran out
+        # of budget while still inside the grid (conservative)
+        cand = cand0 | (need & (near | (t <= t_exit)))
+        t = jnp.where(cand0, 0.0, t)
 
     # ---- compact candidates into the refinement budget ----
-    from .grid import compact_indices
     src, slot_mask, dest = compact_indices(cand, m)
     payload = jnp.concatenate(
         [rays_o, rays_d, t[:, None], t_exit[:, None]], axis=-1)   # [N,8]
@@ -685,4 +923,4 @@ def sphere_trace_budget(pg: PackedSDFGrid, rays_o, rays_d, m: int,
     return CompactSecondary(src=src, slot_mask=slot_mask, dest=dest,
                             inters=inters_m, normals=normals_m,
                             view_out=-dm, hit_m=hit_m, depth_m=depth_m,
-                            cand=cand)
+                            cand=cand, a1_need=need)

@@ -46,6 +46,10 @@ SEC_BUDGET_INTERVAL = 500
 # material fields sharpen. Overflow degrades to the outer light only.
 INNER_BUDGET_BUCKETS = (0.03125, 0.0625, 0.125, 0.25, 0.5)
 INNER_BUDGET_MARGIN = 1.5
+# coarse-march budget when the visibility cache is baked (phase A1 of
+# sphere_trace_budget): sized to the live cache-uncertain rate
+A1_BUDGET_BUCKETS = (0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+A1_BUDGET_MARGIN = 1.15
 
 
 def mat_param_group_label(path_str: str) -> str:
@@ -303,7 +307,8 @@ class MaterialTrainer:
                     and 'secondary_cand_rate' in aux):
                 self._adapt_secondary_budget(
                     float(aux['secondary_cand_rate']),
-                    float(aux.get('secondary_hit_rate', -1.0)))
+                    float(aux.get('secondary_hit_rate', -1.0)),
+                    float(aux.get('secondary_a1_rate', -1.0)))
             if (step + 1) % log_every == 0 or step == self.start_step:
                 host = {k_: float(v) for k_, v in aux.items()
                         if np.ndim(v) == 0}
@@ -316,7 +321,8 @@ class MaterialTrainer:
 
     # ------------------------------------------------------------------
     def _adapt_secondary_budget(self, cand_rate: float,
-                                hit_rate: float = -1.0):
+                                hit_rate: float = -1.0,
+                                a1_rate: float = -1.0):
         """Re-bucket the secondary-trace refinement budget to the live
         candidate rate — and the inner-light hit budget to the live hit
         rate (one recompile per bucket change)."""
@@ -335,6 +341,12 @@ class MaterialTrainer:
                           INNER_BUDGET_BUCKETS[-1])
             if want_h != scfg.inner_light_budget:
                 repl['inner_light_budget'] = want_h
+        if a1_rate >= 0.0 and 0.0 < scfg.a1_budget < 1.0:
+            want_a = next((b for b in A1_BUDGET_BUCKETS
+                           if b >= a1_rate * A1_BUDGET_MARGIN),
+                          A1_BUDGET_BUCKETS[-1])
+            if want_a != scfg.a1_budget:
+                repl['a1_budget'] = want_a
         if repl:
             self.rcfg = self.rcfg._replace(shader=scfg._replace(**repl))
 

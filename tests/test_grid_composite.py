@@ -415,3 +415,100 @@ def test_compact_inverse_vjps_match_dense_autodiff():
         np.asarray(grid_mod.scatter_back(vm, dest, src=src,
                                          slot_mask=slot_mask)),
         np.asarray(grid_mod.scatter_back(vm, dest)))
+
+
+def test_vis_cache_conservative_and_equivalent():
+    """bake_vis_cache + cache-gated sphere_trace_budget: certification
+    must be CONSERVATIVE (a cache-certified ray is never a hit under the
+    uncached budgeted trace) and hit/depth verdicts must match the
+    uncached path exactly when the a1 budget has headroom."""
+    xs = np.linspace(-1, 1, 128, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    d1 = np.sqrt((xx + 0.35) ** 2 + yy ** 2 + zz ** 2) - 0.3
+    d2 = np.sqrt((xx - 0.35) ** 2 + yy ** 2 + zz ** 2) - 0.3
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(np.minimum(d1, d2)),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    pg = sdf_trace.pack_sdf_grid(grid)
+    pgv = sdf_trace.bake_vis_cache(pg)
+    assert pgv.vis_rows.shape == (32, 32, 32, 8)
+    assert pgv.vis_rows.dtype == jnp.uint32
+
+    rng = np.random.RandomState(3)
+    c1 = np.array([-0.35, 0.0, 0.0], np.float32)
+    n = rng.randn(4096, 3).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    o = c1 + 0.3 * n
+    d = rng.randn(4096, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.sum(d * n, -1) < 0
+    d[out] -= 2 * np.sum(d[out] * n[out], -1, keepdims=True) * n[out]
+    m_cell = 2.0 / (64 - 1)
+    o = (o + d * 2.0 * (2.0 / 127.0) + 1.5 * m_cell * n).astype(np.float32)
+    h0 = np.sum(d * n, -1).astype(np.float32)
+
+    r0 = sdf_trace.sphere_trace_budget(pg, jnp.asarray(o), jnp.asarray(d),
+                                       m=2048, h0=jnp.asarray(h0))
+    r1 = sdf_trace.sphere_trace_budget(pgv, jnp.asarray(o),
+                                       jnp.asarray(d), m=2048,
+                                       h0=jnp.asarray(h0),
+                                       a1_budget=0.875)
+
+    def densify(r):
+        dall = np.asarray(r.dest)
+        mapped = dall < 2048
+        hit = mapped & np.asarray(r.hit_m)[np.minimum(dall, 2047)]
+        dep = np.where(hit,
+                       np.asarray(r.depth_m)[np.minimum(dall, 2047)], 10.0)
+        return hit, dep
+
+    h0_, d0_ = densify(r0)
+    h1_, d1_ = densify(r1)
+    # cache certification must be meaningful on this scene
+    need = np.asarray(r1.a1_need)
+    clear = np.asarray(r0.a1_need)
+    assert need.mean() < clear.mean()
+    # identical verdicts (budget sized with headroom, so no overflow)
+    np.testing.assert_array_equal(h0_, h1_)
+    np.testing.assert_allclose(d0_, d1_, atol=1e-5)
+
+
+def test_vis_cache_certified_rays_truly_miss():
+    """Every cache-certified ray must MISS under the dense full-res
+    reference trace (soundness of the cone-march bake, incl. the aabb
+    boundary handling)."""
+    xs = np.linspace(-1, 1, 96, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(xs, xs, xs, indexing='ij')
+    # off-center sphere close to the +x aabb face exercises the clamped
+    # tap path
+    dv = np.sqrt((xx - 0.55) ** 2 + yy ** 2 + zz ** 2) - 0.38
+    grid = sdf_trace.SDFGrid(values=jnp.asarray(dv),
+                             aabb=jnp.asarray([[-1.0] * 3, [1.0] * 3]))
+    pg = sdf_trace.pack_sdf_grid(grid)
+    pgv = sdf_trace.bake_vis_cache(pg)
+
+    rng = np.random.RandomState(5)
+    c = np.array([0.55, 0.0, 0.0], np.float32)
+    n = rng.randn(4096, 3).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    o = c + 0.38 * n
+    keep = np.abs(o).max(-1) < 0.999
+    o, n = o[keep], n[keep]
+    d = rng.randn(o.shape[0], 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.sum(d * n, -1) < 0
+    d[out] -= 2 * np.sum(d[out] * n[out], -1, keepdims=True) * n[out]
+    m_cell = 2.0 / (48 - 1)
+    o = (o + d * 2.0 * (2.0 / 95.0) + 1.5 * m_cell * n).astype(np.float32)
+    h0 = np.sum(d * n, -1).astype(np.float32)
+
+    m = 1024
+    r = sdf_trace.sphere_trace_budget(pgv, jnp.asarray(o), jnp.asarray(d),
+                                      m=m, h0=jnp.asarray(h0),
+                                      a1_budget=0.875)
+    certified = (~np.asarray(r.a1_need) & ~np.asarray(r.cand)
+                 & (h0 > 0.12))
+    assert certified.sum() > 50          # the cache certifies something
+    _, _, _, hit_dense = sdf_trace.sphere_trace(
+        pg, jnp.asarray(o), jnp.asarray(d))
+    # no certified ray may be a dense-trace hit
+    assert (certified & np.asarray(hit_dense)).sum() == 0

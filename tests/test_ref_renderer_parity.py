@@ -175,3 +175,172 @@ def test_full_shade_bf16_default_path(fx):
         np.testing.assert_allclose(
             np.asarray(out[k]), fx[f'out_{k}'], rtol=0.15, atol=0.01,
             err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# NIS path (flows LIVE): the paper's novel path at renderer level
+# (ref: fields.py:1082-1143, 1160-1205, 1260-1269, 1271-1333)
+# ---------------------------------------------------------------------------
+
+NIS_FIX = os.path.join(os.path.dirname(__file__), 'fixtures',
+                       'ref_renderer_nis.npz')
+
+
+@pytest.fixture(scope='module')
+def nfx():
+    return dict(np.load(NIS_FIX))
+
+
+def _plain_linear(z, key):
+    return {'w': jnp.asarray(z[f'{key}_weight'].T),
+            'b': jnp.asarray(z[f'{key}_bias'])}
+
+
+def flow_params_from_torch(z, pre):
+    """torch TensoFlow state -> our flow param pytree (same orientation
+    conventions as the mat field: plane [1,C,g0,g1] -> [g_m0,g_m1,C])."""
+    field = {
+        'planes': [jnp.asarray(np.transpose(z[f'{pre}__nis_plane_{i}'][0],
+                                            (2, 1, 0))) for i in range(3)],
+        'lines': [jnp.asarray(z[f'{pre}__nis_line_{i}'][0, :, :, 0].T)
+                  for i in range(3)],
+    }
+    blocks = [{'layers': [_plain_linear(z, f'{pre}__flows_{b}_nn_{i}')
+                          for i in (1, 3, 5, 7)]} for b in (0, 1)]
+    return {'field': field,
+            'nis_mat': [_plain_linear(z, f'{pre}__nis_mat_0'),
+                        _plain_linear(z, f'{pre}__nis_mat_2')],
+            'blocks': blocks}
+
+
+def build_nis_params_and_cfg(z):
+    cfg = mc_shading.MCShadingConfig(
+        diffuse_sample_num=16, specular_sample_num=8,
+        nis_diffuse_sample_num=8, nis_specular_sample_num=4,
+        outer_light_version='direction',
+        use_nis_all=False, use_nis_diffuse=True, use_nis_specular=True,
+        random_azimuth=False,
+        grid_size=(32, 32, 32), inner_light_budget=0.0,
+        secondary_budget=0.0, estimator_dtype='f32')
+    params = mc_shading.init_mc_shading(jax.random.PRNGKey(0), cfg)
+    params['mat_field'] = {
+        'planes': [jnp.asarray(np.transpose(z[f'w_plane{i}'][0], (2, 1, 0)))
+                   for i in range(3)],
+        'lines': [jnp.asarray(z[f'w_line{i}'][0, :, :, 0].T)
+                  for i in range(3)],
+    }
+    params['metallic'] = _predictor_from_torch(z, 'w_metallic', 2)
+    params['roughness'] = _predictor_from_torch(z, 'w_roughness', 2)
+    params['albedo'] = _predictor_from_torch(z, 'w_albedo', 2)
+    params['outer_light'] = _predictor_from_torch(z, 'w_outer', 4)
+    params['inner_light'] = _predictor_from_torch(z, 'w_inner', 4)
+    params['flow_diffuse'] = flow_params_from_torch(z, 'w_fd')
+    params['flow_specular'] = flow_params_from_torch(z, 'w_fs')
+    return params, cfg
+
+
+def _nis_forward(params, cfg, trace, pts, view, nrm, copies=None):
+    # `copies` are the FROZEN sampling flows (requires_grad=False in the
+    # reference, fields.py:1059-1065) — stop_gradient'ed so no spurious
+    # grad path reaches the live flows through the sampler
+    aabb = jnp.asarray([[-1.0] * 3, [1.0] * 3])
+    phase = mc_shading.ShadePhase(
+        nis_sample_diffuse=True, nis_sample_specular=True,
+        nis_loss_diffuse=True, nis_loss_specular=True)
+    copies = copies if copies is not None else params
+    copies = jax.lax.stop_gradient(
+        {k: copies[k] for k in ('flow_diffuse', 'flow_specular')})
+    return mc_shading.mc_forward(
+        params, cfg, trace, 2.0 / 511.0, aabb, pts, view, nrm,
+        phase, jax.random.PRNGKey(0), False,
+        flow_diffuse_copy=copies['flow_diffuse'],
+        flow_specular_copy=copies['flow_specular'])
+
+
+def test_nis_flow_copy_samples_match_reference(nfx):
+    """The frozen-copy flow samples (Fibonacci prior -> pwquad coupling
+    blocks) and their log-densities match torch exactly."""
+    from tensoflow_tpu.fields import flow as flow_mod
+    from tensoflow_tpu.ops.math import safe_normalize
+    params, cfg = build_nis_params_and_cfg(nfx)
+    aabb = jnp.asarray([[-1.0] * 3, [1.0] * 3])
+    pts = jnp.asarray(nfx['pts'], jnp.float32)
+    view = jnp.asarray(nfx['view'], jnp.float32)
+    nrm = jnp.asarray(nfx['nrm'], jnp.float32)
+    metallic, roughness, albedo = mc_shading.predict_materials(
+        params, cfg, pts, aabb)
+    va = mc_shading.direction_to_angle(
+        safe_normalize(nrm), safe_normalize(view)[:, None, :])[:, 0]
+    va01 = va / jnp.asarray([2 * np.pi, 0.5 * np.pi], va.dtype)
+    for nm, pre, sn in (('diffuse', 'flow_diffuse', 8),
+                        ('specular', 'flow_specular', 4)):
+        x, logq = flow_mod.flow_sample(
+            params[pre], cfg.flow, jax.random.PRNGKey(1), pts, aabb,
+            va01, roughness, sn, train=False)
+        np.testing.assert_allclose(np.asarray(x), nfx[f'{nm}_angles01'],
+                                   rtol=1e-4, atol=2e-5, err_msg=nm)
+        np.testing.assert_allclose(np.asarray(logq), nfx[f'{nm}_logq'],
+                                   rtol=1e-3, atol=2e-4, err_msg=nm)
+
+
+def test_nis_full_shade_matches_reference(nfx):
+    """shade_mixed with BOTH flows live: mixed-estimator outputs, the
+    half-vector-Jacobian pdfs (implicitly, through the mixed colors) and
+    the NIS losses match torch."""
+    params, cfg = build_nis_params_and_cfg(nfx)
+    out = _nis_forward(params, cfg, make_trace_fn(nfx),
+                       jnp.asarray(nfx['pts']), jnp.asarray(nfx['view']),
+                       jnp.asarray(nfx['nrm']))
+    np.testing.assert_allclose(np.asarray(out['rgb_pr']), nfx['rgb_pr'],
+                               rtol=5e-4, atol=5e-5)
+    for k in ('diffuse_color', 'specular_color', 'visibility',
+              'albedo', 'metallic', 'roughness'):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), nfx[f'out_{k}'], rtol=5e-4, atol=5e-5,
+            err_msg=k)
+    np.testing.assert_allclose(float(out['loss_nis_diffuse']),
+                               float(nfx['loss_nis_diffuse']),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(out['loss_nis_specular']),
+                               float(nfx['loss_nis_specular']),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_nis_gradients_match_reference(nfx):
+    """Gradients of (sum rgb + NIS losses) through the shading points AND
+    the LIVE flow parameters (the NIS losses are the only path into the
+    flows) match torch autograd."""
+    params, cfg = build_nis_params_and_cfg(nfx)
+    trace = make_trace_fn(nfx)
+    view = jnp.asarray(nfx['view'])
+    nrm = jnp.asarray(nfx['nrm'])
+
+    def loss_pts(pts):
+        out = _nis_forward(params, cfg, trace, pts, view, nrm)
+        return (jnp.sum(out['rgb_pr']) + out['loss_nis_diffuse']
+                + out['loss_nis_specular'])
+
+    g_pts = jax.grad(loss_pts)(jnp.asarray(nfx['pts']))
+    np.testing.assert_allclose(np.asarray(g_pts), nfx['g_pts'],
+                               rtol=3e-3, atol=3e-5)
+
+    def loss_params(p):
+        out = _nis_forward(p, cfg, trace, jnp.asarray(nfx['pts']), view,
+                           nrm)
+        return (jnp.sum(out['rgb_pr']) + out['loss_nis_diffuse']
+                + out['loss_nis_specular'])
+
+    g = jax.grad(loss_params)(params)
+    for nm, pre in (('fd', 'flow_diffuse'), ('fs', 'flow_specular')):
+        got = np.asarray(g[pre]['field']['planes'][0])
+        want = np.transpose(nfx[f'g_{nm}_plane0'][0], (2, 1, 0))
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=1e-7,
+                                   err_msg=f'{nm} plane0')
+        got_w = np.asarray(g[pre]['blocks'][0]['layers'][0]['w'])
+        np.testing.assert_allclose(got_w, nfx[f'g_{nm}_block0_w1'].T,
+                                   rtol=3e-3, atol=1e-7,
+                                   err_msg=f'{nm} block0 w1')
+        got_m = np.asarray(g[pre]['nis_mat'][0]['w'])
+        np.testing.assert_allclose(got_m, nfx[f'g_{nm}_nismat_w0'].T,
+                                   rtol=3e-3, atol=1e-7,
+                                   err_msg=f'{nm} nis_mat w0')
