@@ -129,6 +129,11 @@ def run_phase(reso, n_levels, trace=False):
     print(f'grid={reso}^3 n_levels={n_levels} compile={compile_s:.1f}s '
           f'step={step_ms:.2f}ms rays_s={rays / best:.0f} loss={v:.4f}',
           flush=True)
+    result = {'grid': reso, 'n_levels': n_levels,
+              'step_ms': round(step_ms, 2),
+              'rays_per_s': round(rays / best, 1),
+              'sample_budget': budget,
+              'compile_s': round(compile_s, 1)}
 
     if trace:
         outdir = f'/tmp/scaleproof_trace_{reso}'
@@ -153,6 +158,7 @@ def run_phase(reso, n_levels, trace=False):
               f'{gb:.1f} GB boundary bytes')
         for ms, c, nm in rows:
             print(f'  {ms:9.3f} ms  x{c:<4d} {nm[:140]}', flush=True)
+    return result
 
 
 def main():

@@ -204,9 +204,13 @@ def get_inner_lights(params, cfg: MCShadingConfig, points, view_out_dirs,
     v = safe_normalize(view_out_dirs)
     refl = jnp.sum(v * normals, -1, keepdims=True) * normals * 2 - v
     dir_enc = integrated_dir_encoding(refl, 0.0, 5)
+    # the 4x256 MLP at compacted-budget width is dot-bound: run its
+    # matmuls at MXU bf16 rate under the estimator dtype policy (f32
+    # accumulation; the exp activation and light values stay f32)
+    dd = jnp.bfloat16 if cfg.estimator_dtype == 'bf16' else None
     return mlp.apply_predictor(
         params['inner_light'], jnp.concatenate([pos_enc, dir_enc], -1),
-        'exp', cfg.inner_light_exp_max)
+        'exp', cfg.inner_light_exp_max, dot_dtype=dd)
 
 
 def predict_outer_lights(params, cfg: MCShadingConfig, points, directions):

@@ -100,15 +100,33 @@ def init_predictor(rng, d_in: int, d_out: int, n_layers: int = 3,
 
 
 def apply_predictor(p: Params, x, activation: str = 'sigmoid',
-                    exp_max: float = 0.0):
+                    exp_max: float = 0.0, dot_dtype=None):
+    """dot_dtype='bf16'-style jnp dtype runs the hidden dots in bf16
+    (MXU-rate) with f32 accumulation via preferred_element_type; the
+    activation and output stay f32.  Weight-norm row norms stay f32."""
     act = make_activation(activation, exp_max)
     h = x
     n = len(p['layers'])
     for i, layer in enumerate(p['layers']):
-        h = apply_linear(layer, h)
+        if dot_dtype is not None:
+            h = apply_linear_mixed(layer, h, dot_dtype)
+        else:
+            h = apply_linear(layer, h)
         if i < n - 1:
             h = jax.nn.relu(h)
     return act(h)
+
+
+def apply_linear_mixed(p: Params, x, dot_dtype):
+    """apply_linear with the matmul in ``dot_dtype`` (f32 accumulation)."""
+    if 'v' in p:
+        v = p['v']
+        w = v * (p['g'] / jnp.maximum(jnp.linalg.norm(v, axis=0), 1e-12))
+    else:
+        w = p['w']
+    y = jax.lax.dot(x.astype(dot_dtype), w.astype(dot_dtype),
+                    preferred_element_type=jnp.float32)
+    return y + p['b']
 
 
 # ---------------------------------------------------------------------------

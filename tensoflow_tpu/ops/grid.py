@@ -368,7 +368,10 @@ def compact_indices(valid_flat, m: int):
     keys = jnp.where(keep, dest, jnp.int32(n + 1))
     _, src_full = jax.lax.sort_key_val(keys,
                                        jnp.arange(n, dtype=jnp.int32))
-    src = src_full[:m]
+    if n >= m:
+        src = src_full[:m]
+    else:                 # budget exceeds rows: pad (padded slots are
+        src = jnp.pad(src_full, (0, m - n))   # masked by slot_mask)
     n_valid = jnp.minimum(jnp.sum(valid_flat.astype(jnp.int32)), m)
     slot_mask = jnp.arange(m) < n_valid
     return src, slot_mask, dest
