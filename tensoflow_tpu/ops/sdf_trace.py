@@ -270,6 +270,19 @@ def pack_sdf_grid(grid: SDFGrid, coarse_factor: int = 4,
     mid = v[::mid_factor, ::mid_factor, ::mid_factor]
     mid_rows = _pack_cells(mid, dtype)
     blocks = pack_corner_blocks(v, dtype)
+    # pin the blocks atlas to the row-major layout its gathers want: the
+    # transpose+reshape build leaves it {0,1} on device and the step
+    # relayouts all 81MB every call (348 chunked copies, 4.9ms/step in
+    # the round-5 512^3-bake trace).  Best-effort: a warm compile cache
+    # can still carry the old {0,1} entry layout (measured neutral
+    # there); cold compiles pick the pinned layout up.
+    if jax.default_backend() == 'tpu':
+        try:
+            from jax.experimental.layout import Format, Layout
+            blocks = jax.device_put(
+                blocks, Format(Layout(major_to_minor=(1, 0))))
+        except Exception:
+            pass
     vc = v[::coarse_factor, ::coarse_factor, ::coarse_factor]
     coarse_rows = _pack_cells(vc, dtype)
     return PackedSDFGrid(mid_rows=mid_rows, blocks=blocks,
